@@ -1,0 +1,311 @@
+"""Batched SO(3)/SE(3) Lie-group operations for TPU.
+
+TPU-native redesign of the reference's header-only geometry library
+(`/root/reference/include/ceres_slam/geometry/so3group.hpp`,
+`se3group.hpp`). Design notes:
+
+- The reference stores an SE(3) element as 12 contiguous doubles
+  ``[t(3) | R row-major(9)]`` (se3group.hpp:114-123) so Ceres can treat the
+  state as a flat parameter block. The TPU analog is a structure-of-arrays
+  state: poses are ``f[..., 12]`` arrays and every op here is batched over
+  arbitrary leading dimensions — no vmap required, no per-element scalar
+  loops, everything jittable.
+
+- The reference's SE(3) exp/log are *deliberately first order in
+  translation* — the translation is NOT multiplied by the SO(3) left
+  Jacobian (se3group.hpp:313-325: "This isn't quite right ... we don't
+  really need this"). We reproduce that convention exactly, because the
+  whole estimation stack (retraction `T <- exp(eps) * T`, pose-error
+  residual `log(T_ref * T^-1)`) is built on it and trajectories are only
+  reference-equivalent if the retraction matches.
+
+- Branches (small-angle fallbacks, so3group.hpp:277, :329-345) become
+  `jnp.where` with guarded denominators: both sides of a `where` are
+  evaluated under XLA, so any division must be made safe *before* the
+  select.
+
+All functions are dtype-polymorphic (float32 on TPU hot paths, float64 for
+CPU verification / covariance chains).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Size of the flat SE(3) parameterization: [t(3) | R row-major (9)].
+SE3_DIM = 12
+SO3_DIM = 9
+SE3_DOF = 6
+SO3_DOF = 3
+
+_EPS = {jnp.dtype(jnp.float32): 1.1920929e-07, jnp.dtype(jnp.float64): 2.220446049250313e-16}
+
+
+def _eps(dtype) -> float:
+    return _EPS.get(jnp.dtype(dtype), 1.1920929e-07)
+
+
+# ---------------------------------------------------------------------------
+# SO(3)
+# ---------------------------------------------------------------------------
+
+
+def so3_wedge(phi: jnp.ndarray) -> jnp.ndarray:
+    """so(3) wedge: ``phi[..., 3] -> Phi[..., 3, 3]`` (so3group.hpp:248-255)."""
+    x, y, z = phi[..., 0], phi[..., 1], phi[..., 2]
+    zero = jnp.zeros_like(x)
+    rows = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows
+
+
+def so3_vee(Phi: jnp.ndarray) -> jnp.ndarray:
+    """so(3) vee: inverse of wedge, averaging the antisymmetric part
+    (so3group.hpp:260-265)."""
+    return 0.5 * jnp.stack(
+        [
+            Phi[..., 2, 1] - Phi[..., 1, 2],
+            Phi[..., 0, 2] - Phi[..., 2, 0],
+            Phi[..., 1, 0] - Phi[..., 0, 1],
+        ],
+        axis=-1,
+    )
+
+
+def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) exponential map: ``phi[..., 3] -> C[..., 3, 3]``.
+
+    Rodrigues form with series fallback near zero (so3group.hpp:273-291).
+    We use the numerically stable ``A = sin(t)/t``, ``B = (1-cos(t))/t^2``
+    factorization so the small-angle branch is smooth (the reference's
+    first-order fallback only triggers below machine epsilon; ours agrees
+    to machine precision there).
+    """
+    dtype = phi.dtype
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta2)
+    small = theta <= _eps(dtype) ** 0.5
+
+    safe_theta2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.sqrt(safe_theta2))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
+
+    W = so3_wedge(phi)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), W.shape)
+    return eye + A[..., None, None] * W + B[..., None, None] * W2
+
+
+def so3_log(C: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) logarithmic map: ``C[..., 3, 3] -> phi[..., 3]``.
+
+    Matches so3group.hpp:299-349: axis from the antisymmetric part,
+    ``angle = atan2(0.5*|axis|, 0.5*(trace-1))``, with the first-order
+    ``vee(C - I)`` fallback for tiny angles. Like the reference, this is
+    singular at angle == pi (never exercised by frame-to-frame VO).
+    """
+    dtype = C.dtype
+    axis = jnp.stack(
+        [
+            C[..., 2, 1] - C[..., 1, 2],
+            C[..., 0, 2] - C[..., 2, 0],
+            C[..., 1, 0] - C[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_angle = 0.5 * jnp.linalg.norm(axis, axis=-1)
+    cos_angle = 0.5 * (jnp.trace(C, axis1=-2, axis2=-1) - 1.0)
+    angle = jnp.arctan2(sin_angle, cos_angle)
+
+    small = jnp.abs(angle) <= _eps(dtype) ** 0.5
+    safe_sin = jnp.where(small, jnp.ones_like(sin_angle), sin_angle)
+    # angle/sin(angle) -> 1 + angle^2/6 near zero.
+    scale = jnp.where(small, 0.5 * (1.0 + angle * angle / 6.0), 0.5 * angle / safe_sin)
+    return scale[..., None] * axis
+
+
+def so3_inverse(C: jnp.ndarray) -> jnp.ndarray:
+    """Rotation inverse = transpose (so3group.hpp:115-117)."""
+    return jnp.swapaxes(C, -1, -2)
+
+
+def so3_normalize(C: jnp.ndarray) -> jnp.ndarray:
+    """Project onto SO(3) via SVD (so3group.hpp:128-137).
+
+    The reference disables this inside differentiated ops; use it only
+    *between* solves to curb drift of the over-parameterized rotation.
+    """
+    U, _, Vt = jnp.linalg.svd(C)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
+        axis=-1,
+    )
+    return U @ (D[..., :, None] * Vt)
+
+
+# ---------------------------------------------------------------------------
+# SE(3) — flat [t(3) | R row-major(9)] parameterization
+# ---------------------------------------------------------------------------
+
+
+def se3_trans(T: jnp.ndarray) -> jnp.ndarray:
+    """Translation part ``[..., 3]`` of a flat pose ``[..., 12]``."""
+    return T[..., :3]
+
+
+def se3_rot(T: jnp.ndarray) -> jnp.ndarray:
+    """Rotation part ``[..., 3, 3]`` of a flat pose ``[..., 12]``."""
+    return T[..., 3:].reshape(*T.shape[:-1], 3, 3)
+
+
+def se3_make(t: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """Pack translation ``[..., 3]`` + rotation ``[..., 3, 3]`` into ``[..., 12]``."""
+    return jnp.concatenate([t, C.reshape(*C.shape[:-2], 9)], axis=-1)
+
+
+def se3_identity(batch_shape=(), dtype=jnp.float64) -> jnp.ndarray:
+    eye = jnp.concatenate([jnp.zeros(3, dtype), jnp.eye(3, dtype=dtype).reshape(9)])
+    return jnp.broadcast_to(eye, (*batch_shape, SE3_DIM))
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) exp, first-order in translation: ``xi[..., 6] -> T[..., 12]``.
+
+    Reference convention (se3group.hpp:313-325): translation = xi[:3]
+    verbatim, rotation = SO3 exp of xi[3:]. This IS the retraction used by
+    the local parameterization (perturbations.hpp:62) — do not "fix" it.
+    """
+    return se3_make(xi[..., :3], so3_exp(xi[..., 3:]))
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) log, first-order in translation (se3group.hpp:327-342)."""
+    return jnp.concatenate([se3_trans(T), so3_log(se3_rot(T))], axis=-1)
+
+
+def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Inverse: ``(t, R) -> (-R^T t, R^T)`` (se3group.hpp:152-158)."""
+    Rt = so3_inverse(se3_rot(T))
+    t = se3_trans(T)
+    return se3_make(-jnp.einsum("...ij,...j->...i", Rt, t), Rt)
+
+
+def se3_compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
+    """Group product ``Ta * Tb`` (se3group.hpp:176-183)."""
+    Ra, Rb = se3_rot(Ta), se3_rot(Tb)
+    ta, tb = se3_trans(Ta), se3_trans(Tb)
+    return se3_make(jnp.einsum("...ij,...j->...i", Ra, tb) + ta, Ra @ Rb)
+
+
+def se3_transform_point(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """``R p + t`` (se3group.hpp:191-209). Broadcasts over leading dims."""
+    return jnp.einsum("...ij,...j->...i", se3_rot(T), p) + se3_trans(T)
+
+
+def se3_transform_vector(T: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """``R v`` — directions ignore translation (se3group.hpp:240-258)."""
+    return jnp.einsum("...ij,...j->...i", se3_rot(T), v)
+
+
+def se3_adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """6x6 adjoint ``[[R, t^ R], [0, R]]`` (se3group.hpp:161-170)."""
+    R = se3_rot(T)
+    tw = so3_wedge(se3_trans(T))
+    top = jnp.concatenate([R, tw @ R], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_matrix(T: jnp.ndarray) -> jnp.ndarray:
+    """Flat pose -> homogeneous 4x4 (se3group.hpp:126-132)."""
+    R = se3_rot(T)
+    t = se3_trans(T)
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros((*T.shape[:-1], 1, 4), dtype=T.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_from_matrix(M: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous 4x4 -> flat pose ``[..., 12]``."""
+    return se3_make(M[..., :3, 3], M[..., :3, :3])
+
+
+def se3_wedge(xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) wedge: ``xi[..., 6] -> Xi[..., 4, 4]`` (se3group.hpp:293-300)."""
+    W = so3_wedge(xi[..., 3:])
+    top = jnp.concatenate([W, xi[..., :3][..., :, None]], axis=-1)
+    bottom = jnp.zeros((*xi.shape[:-1], 1, 4), dtype=xi.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_vee(Xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) vee (se3group.hpp:306-311)."""
+    return jnp.concatenate([Xi[..., :3, 3], so3_vee(Xi[..., :3, :3])], axis=-1)
+
+
+def se3_normalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Renormalize the rotation block via SVD projection (between solves only)."""
+    return se3_make(se3_trans(T), so3_normalize(se3_rot(T)))
+
+
+def se3_retract(T: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """Left-perturbation retraction ``T <- exp(eps) * T``.
+
+    This is the TPU-native replacement for the reference's
+    ``SE3Perturbation`` local parameterization (perturbations.hpp:45-76):
+    instead of Ceres chaining a 12x6 parameterization Jacobian, the LM
+    solver steps in the 6-dof tangent space and applies this retraction.
+    """
+    return se3_compose(se3_exp(eps), T)
+
+
+def so3_retract(C: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+    """Left-perturbation retraction ``C <- exp(psi) * C`` (perturbations.hpp:11-42)."""
+    return so3_exp(psi) @ C
+
+
+def unit_vector_retract(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Tangent-plane retraction for unit vectors (perturbations.hpp:87-113).
+
+    Projects delta onto the tangent plane of x, adds, renormalizes.
+    """
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    delta_orth = delta - (jnp.sum(delta * x, axis=-1, keepdims=True) / x2) * x
+    y = x + delta_orth
+    return y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+
+
+def point_transform_jacobians(T: jnp.ndarray, p_g: jnp.ndarray):
+    """Transformed point + analytic tangent-space Jacobians.
+
+    Returns ``(p_c, J_pose[..., 3, 6], J_point[..., 3, 3])`` where J_pose is
+    the derivative of ``exp(eps)*T @ p_g`` w.r.t. ``eps`` at 0 — the product
+    of the reference's sparse 3x12 TransformJacobian (se3group.hpp:196-207)
+    with the 12x6 parameterization Jacobian, collapsed analytically:
+    ``d p_c / d eps = [ I | -p_c^ ]`` and ``d p_c / d p_g = R``.
+    """
+    R = se3_rot(T)
+    p_c = jnp.einsum("...ij,...j->...i", R, p_g) + se3_trans(T)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
+    J_pose = jnp.concatenate([eye, -so3_wedge(p_c)], axis=-1)
+    return p_c, J_pose, R
+
+
+def vector_transform_jacobians(T: jnp.ndarray, v_g: jnp.ndarray):
+    """Transformed direction + tangent Jacobians.
+
+    ``d v_c / d eps = [ 0 | -v_c^ ]`` (translation does not act on
+    directions), ``d v_c / d v_g = R``.
+    """
+    R = se3_rot(T)
+    v_c = jnp.einsum("...ij,...j->...i", R, v_g)
+    zero = jnp.zeros_like(R)
+    J_pose = jnp.concatenate([zero, -so3_wedge(v_c)], axis=-1)
+    return v_c, J_pose, R
