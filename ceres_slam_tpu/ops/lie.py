@@ -89,12 +89,15 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """
     dtype = phi.dtype
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta <= _eps(dtype) ** 0.5
+    small = theta2 <= _eps(dtype)
 
+    # NOTE: sqrt of an exactly-zero theta2 has an infinite derivative and
+    # `0 * inf = NaN` leaks through the untaken where-branch under autodiff;
+    # every transcendental below therefore uses the guarded safe_theta.
     safe_theta2 = jnp.where(small, jnp.ones_like(theta2), theta2)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.sqrt(safe_theta2))
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
+    safe_theta = jnp.sqrt(safe_theta2)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_theta) / safe_theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_theta)) / safe_theta2)
 
     W = so3_wedge(phi)
     W2 = W @ W
@@ -119,7 +122,14 @@ def so3_log(C: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_angle = 0.5 * jnp.linalg.norm(axis, axis=-1)
+    # Guarded |axis|: sqrt'(0) is infinite, so take sqrt of a safe value and
+    # pin sin_angle to 0 in the small branch (there angle is then exactly 0
+    # and the first-order scale applies, matching vee(C - I)).
+    n2 = jnp.sum(axis * axis, axis=-1)
+    tiny = n2 <= _eps(dtype)
+    sin_angle = jnp.where(
+        tiny, jnp.zeros_like(n2), 0.5 * jnp.sqrt(jnp.where(tiny, jnp.ones_like(n2), n2))
+    )
     cos_angle = 0.5 * (jnp.trace(C, axis1=-2, axis2=-1) - 1.0)
     angle = jnp.arctan2(sin_angle, cos_angle)
 
@@ -128,6 +138,57 @@ def so3_log(C: jnp.ndarray) -> jnp.ndarray:
     # angle/sin(angle) -> 1 + angle^2/6 near zero.
     scale = jnp.where(small, 0.5 * (1.0 + angle * angle / 6.0), 0.5 * angle / safe_sin)
     return scale[..., None] * axis
+
+
+def so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) left Jacobian ``J_l(phi) [..., 3, 3]``.
+
+    ``J_l = I + B w + C w^2`` with ``B=(1-cos t)/t^2``, ``C=(t-sin t)/t^3``.
+    Used for chaining rotation-log derivatives in the pose factors — the
+    closed-form replacement for differentiating so3_log with ceres::Jet.
+    """
+    dtype = phi.dtype
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    small = theta2 <= _eps(dtype)
+    safe_theta2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    safe_theta = jnp.sqrt(safe_theta2)
+    safe_theta3 = safe_theta2 * safe_theta
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_theta)) / safe_theta2)
+    Cc = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (safe_theta - jnp.sin(safe_theta)) / safe_theta3
+    )
+    W = so3_wedge(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), W.shape)
+    return eye + B[..., None, None] * W + Cc[..., None, None] * (W @ W)
+
+
+def so3_inv_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SO(3) left Jacobian ``J_l^{-1}(phi)``.
+
+    ``J_l^{-1} = I - 0.5 w + c w^2`` with
+    ``c = 1/t^2 - (1 + cos t)/(2 t sin t)`` (series ``1/12 + t^2/720`` near 0).
+    Singular at ``t = pi`` like so3_log itself.
+    """
+    dtype = phi.dtype
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    small = theta2 <= _eps(dtype) ** 0.5
+    safe_theta2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    safe_theta = jnp.sqrt(safe_theta2)
+    sin_t = jnp.sin(safe_theta)
+    safe_sin = jnp.where(jnp.abs(sin_t) < _eps(dtype), jnp.ones_like(sin_t), sin_t)
+    c = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / safe_theta2 - (1.0 + jnp.cos(safe_theta)) / (2.0 * safe_theta * safe_sin),
+    )
+    W = so3_wedge(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), W.shape)
+    return eye - 0.5 * W + c[..., None, None] * (W @ W)
+
+
+def so3_inv_right_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SO(3) right Jacobian: ``J_r^{-1}(phi) = J_l^{-1}(-phi)``."""
+    return so3_inv_left_jacobian(-phi)
 
 
 def so3_inverse(C: jnp.ndarray) -> jnp.ndarray:
