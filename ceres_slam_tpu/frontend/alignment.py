@@ -1,0 +1,114 @@
+"""Point-cloud alignment front end: Horn/Umeyama + batched 3-point RANSAC.
+
+TPU-native redesign of `/root/reference/src/ceres_slam/point_cloud_aligner.cpp`.
+The reference runs 400 sequential RANSAC iterations, each doing a 3-point
+SVD alignment and a full reprojection scoring pass (:81-131) — a textbook
+embarrassingly-parallel workload. Here ALL hypotheses are generated,
+solved, and scored at once:
+
+  sample   [H, 3] index tensor        (one jax.random call)
+  solve    vmapped closed-form 3-pt Umeyama -> T_h [H, 12]
+  score    reprojected-uvd errors [H, N] in one batched einsum
+  select   argmax of inlier counts
+
+Static shapes throughout (H and N fixed, padding masked), so the whole
+front end jits into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import lie
+
+
+def umeyama(
+    pts_0: jnp.ndarray,  # [..., N, 3]
+    pts_1: jnp.ndarray,  # [..., N, 3]
+    weights: jnp.ndarray | None = None,  # [..., N] optional validity/weights
+) -> jnp.ndarray:
+    """Closed-form rigid alignment ``T_1_0`` s.t. ``pts_1 ~= T_1_0 * pts_0``.
+
+    Mirrors point_cloud_aligner.cpp:12-62: centroids, cross-covariance
+    ``W_1_0 = sum (p1-c1)(p0-c0)^T / N`` (:43-47), SVD with the
+    det(U)det(V) reflection correction (:50-55), ``t = c1 - C c0`` (:58).
+    ``weights`` generalizes to masked/padded point sets (reference operates
+    on exact-size std::vectors; static-shape TPU code masks instead).
+    """
+    if weights is None:
+        weights = jnp.ones(pts_0.shape[:-1], dtype=pts_0.dtype)
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)
+    w = weights / jnp.maximum(wsum, 1e-12)
+    c0 = jnp.einsum("...n,...ni->...i", w, pts_0)
+    c1 = jnp.einsum("...n,...ni->...i", w, pts_1)
+    d0 = pts_0 - c0[..., None, :]
+    d1 = pts_1 - c1[..., None, :]
+    W_1_0 = jnp.einsum("...n,...ni,...nj->...ij", w, d1, d0)
+
+    U, _, Vt = jnp.linalg.svd(W_1_0)
+    det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    C = U @ (D[..., :, None] * Vt)
+
+    t = c1 - jnp.einsum("...ij,...j->...i", C, c0)
+    return lie.se3_make(t, C)
+
+
+class RansacResult(NamedTuple):
+    T_1_0: jnp.ndarray  # [12] best transformation
+    inliers: jnp.ndarray  # [N] bool mask of inliers of the best hypothesis
+    num_inliers: jnp.ndarray  # scalar int
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def ransac_align(
+    camera: StereoCamera,
+    pts_0: jnp.ndarray,  # [N, 3] triangulated points, frame k-1
+    pts_1: jnp.ndarray,  # [N, 3] triangulated points, frame k
+    valid: jnp.ndarray,  # [N] bool — False for padding
+    key: jax.Array,
+    num_iters: int = 400,
+    thresh: float = 4.0,
+) -> RansacResult:
+    """Batched 3-point RANSAC (point_cloud_aligner.cpp:64-136).
+
+    Inlier test = squared reprojected-uvd error < thresh (:116-124),
+    with the reference's default budget of 400 hypotheses and the VO
+    threshold 4.0 px^2 (dataset_problem.cpp:248). Keeps the hypothesis
+    with the largest inlier count (:127-130). Invalid (padded) entries
+    never count as inliers and are never sampled as hypothesis points
+    (sampling weights are masked).
+    """
+    N = pts_0.shape[0]
+    dtype = pts_0.dtype
+
+    # --- sample 3 distinct valid indices per hypothesis -------------------
+    # Gumbel top-k over masked logits: one [H, N] tensor op, no rejection
+    # loops (the reference burns mt19937 draws in while-loops, :85-93).
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    gumbel = jax.random.gumbel(key, (num_iters, N), dtype=dtype)
+    _, idx = jax.lax.top_k(logits[None, :] + gumbel, 3)  # [H, 3]
+
+    h0 = pts_0[idx]  # [H, 3, 3]
+    h1 = pts_1[idx]
+
+    # --- minimal solver, vmapped over hypotheses --------------------------
+    T_h = umeyama(h0, h1)  # [H, 12]
+
+    # --- score all hypotheses against all points --------------------------
+    R_h = lie.se3_rot(T_h)  # [H, 3, 3]
+    t_h = lie.se3_trans(T_h)  # [H, 3]
+    p0_in_1 = jnp.einsum("hij,nj->hni", R_h, pts_0) + t_h[:, None, :]  # [H, N, 3]
+    err = jnp.sum(
+        (camera.project(pts_1)[None] - camera.project(p0_in_1)) ** 2, axis=-1
+    )  # [H, N]
+    inl = (err < thresh) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+
+    best = jnp.argmax(counts)
+    return RansacResult(T_1_0=T_h[best], inliers=inl[best], num_inliers=counts[best])

@@ -1,0 +1,378 @@
+"""Dense tangent-space Gauss-Newton assembly + jitted Levenberg-Marquardt.
+
+This is the TPU-native replacement for the Ceres solver core the reference
+delegates to (SURVEY.md §2.8): trust-region minimization
+(`ceres::Solve` with LM/dogleg, tests/dataset_vo.cpp:65-74), the normal
+equations built from autodiff residual blocks, the SE(3) local
+parameterization (perturbations.hpp), gauge fixing
+(`SetParameterBlockConstant`, dataset_vo.cpp:62), and tangent-space
+covariance extraction (`ceres::Covariance::GetCovarianceBlockInTangentSpace`,
+dataset_vo_sun.cpp:159-183).
+
+Design: the state lives in minimal tangent coordinates only transiently —
+each LM iteration assembles the dense tangent Hessian ``H [D, D]``
+(D = 6K + 3J for stereo BA) by scatter-adding whitened block outer
+products from the batched factor kernels, solves the damped system with
+Cholesky, and retracts (`T <- exp(eps) T``, points ``p <- p + dp``). The
+whole loop is one `lax.while_loop` inside jit: no per-iteration host
+round trips, no dynamic shapes.
+
+The dense path is intended for sliding windows and small/medium batch
+problems (D up to a few thousand — KITTI-window scale); the Schur/PCG
+path in `ceres_slam_tpu/solver/schur.py` covers large full-batch BA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import factors, lie
+from ceres_slam_tpu.solver import loss as loss_mod
+
+
+# ---------------------------------------------------------------------------
+# Problem containers (all pytrees; static shapes; validity via masks)
+# ---------------------------------------------------------------------------
+
+
+class StereoObs(NamedTuple):
+    """Batched stereo reprojection observations.
+
+    The reference stores obs in per-state index lists
+    (dataset_problem.cpp:87-118); here the inverted index is replaced by
+    flat gather indices, padded to a static size with ``valid = False``.
+    """
+
+    uvd: jnp.ndarray  # [N, 3]
+    stiffness: jnp.ndarray  # [N, 3, 3]
+    pose_idx: jnp.ndarray  # [N] int32 into poses
+    point_idx: jnp.ndarray  # [N] int32 into points
+    valid: jnp.ndarray  # [N] bool
+
+
+class SunObs(NamedTuple):
+    """Per-state sun-direction observations (dataset_problem_sun.cpp:139-175)."""
+
+    dir_c: jnp.ndarray  # [K, 3] observed sun dir, camera frame (unit)
+    dir_g: jnp.ndarray  # [K, 3] ephemeris sun dir, global frame (unit)
+    stiffness: jnp.ndarray  # [K, 2, 2]
+    valid: jnp.ndarray  # [K] bool — state_has_sun_obs
+
+
+class PosePrior(NamedTuple):
+    """Unary prior on one pose (tests/dataset_vo_sun.cpp:109-124)."""
+
+    pose_idx: jnp.ndarray  # [] int32
+    T_ref: jnp.ndarray  # [12]
+    stiffness: jnp.ndarray  # [6, 6]
+    valid: jnp.ndarray  # [] bool
+
+
+class StereoBAProblem(NamedTuple):
+    """Stereo (+ optional sun + optional prior) bundle-adjustment problem.
+
+    Sun / prior terms are always present structurally (static pytree) and
+    disabled via their validity masks — the jit-friendly equivalent of the
+    reference conditionally calling problem.AddResidualBlock.
+    """
+
+    camera: StereoCamera
+    stereo: StereoObs
+    sun: SunObs
+    prior: PosePrior
+    fixed_pose_mask: jnp.ndarray  # [K] bool — gauge fixing
+    point_valid: jnp.ndarray  # [J] bool — initialized_point[j]
+    sun_huber: jnp.ndarray  # [] float; 0 => no robust loss
+    az_err_thresh: jnp.ndarray  # [] float (radians)
+    zen_err_thresh: jnp.ndarray  # [] float (radians)
+
+
+class BAState(NamedTuple):
+    poses: jnp.ndarray  # [K, 12]
+    points: jnp.ndarray  # [J, 3]
+
+
+class SolveConfig(NamedTuple):
+    max_iters: int = 50
+    ftol: float = 1e-9  # relative cost-decrease tolerance (Ceres function_tolerance 1e-6)
+    gtol: float = 1e-12  # max-norm gradient tolerance
+    init_lambda: float = 1e-4
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e10
+
+
+class SolveSummary(NamedTuple):
+    iterations: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    final_grad_norm: jnp.ndarray
+    final_lambda: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Dense assembly helpers
+# ---------------------------------------------------------------------------
+
+
+def _scatter_H(H, row_base, col_base, B):
+    """H[row_base+i, col_base+j] += B[..., i, j] for a batch of blocks."""
+    dr, dc = B.shape[-2], B.shape[-1]
+    rows = row_base[..., None, None] + jnp.arange(dr)[:, None]
+    cols = col_base[..., None, None] + jnp.arange(dc)[None, :]
+    return H.at[rows, cols].add(B)
+
+
+def _scatter_g(g, row_base, v):
+    d = v.shape[-1]
+    rows = row_base[..., None] + jnp.arange(d)
+    return g.at[rows].add(v)
+
+
+def _accumulate(H, g, r, blocks, weight=None):
+    """Accumulate one factor batch into (H, g).
+
+    ``blocks`` is a list of (offset_array, J) pairs; r is the whitened
+    residual. ``weight`` (optional, per-factor scalar) applies IRLS
+    robust-loss scaling and validity masking to both r and J.
+    """
+    if weight is not None:
+        r = r * weight[..., None]
+        blocks = [(off, J * weight[..., None, None]) for off, J in blocks]
+    for off_a, Ja in blocks:
+        g = _scatter_g(g, off_a, jnp.einsum("...ri,...r->...i", Ja, r))
+        for off_b, Jb in blocks:
+            H = _scatter_H(H, off_a, off_b, jnp.einsum("...ri,...rj->...ij", Ja, Jb))
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# Stereo(+sun+prior) BA: residuals, cost, assembly
+# ---------------------------------------------------------------------------
+
+
+def _stereo_terms(problem: StereoBAProblem, state: BAState):
+    """Whitened residuals + Jacobians + validity for all three factor types."""
+    p = problem
+    T_obs = state.poses[p.stereo.pose_idx]
+    pt_obs = state.points[p.stereo.point_idx]
+    r_st, J_pose_st, J_pt_st = factors.stereo_reprojection(
+        p.camera, T_obs, pt_obs, p.stereo.uvd, p.stereo.stiffness
+    )
+    stereo_valid = p.stereo.valid & p.point_valid[p.stereo.point_idx]
+
+    r_sun, J_sun = factors.sun_sensor(
+        state.poses,
+        p.sun.dir_c,
+        p.sun.dir_g,
+        p.sun.stiffness,
+        az_err_thresh=p.az_err_thresh,
+        zen_err_thresh=p.zen_err_thresh,
+    )
+    # Robust loss on the sun residual block (tests/dataset_vo_sun.cpp:91-101)
+    sq = jnp.sum(r_sun * r_sun, axis=-1)
+    w_sun = jnp.where(p.sun_huber > 0.0, loss_mod.huber_weight(sq, jnp.maximum(p.sun_huber, 1e-30)), 1.0)
+    sun_rho = jnp.where(p.sun_huber > 0.0, loss_mod.huber_rho(sq, jnp.maximum(p.sun_huber, 1e-30)), sq)
+
+    r_pr, J_pr = factors.pose_prior(
+        state.poses[p.prior.pose_idx], p.prior.T_ref, p.prior.stiffness
+    )
+    return (
+        (r_st, J_pose_st, J_pt_st, stereo_valid),
+        (r_sun, J_sun, w_sun, sun_rho, p.sun.valid),
+        (r_pr, J_pr, p.prior.valid),
+    )
+
+
+def ba_cost(problem: StereoBAProblem, state: BAState) -> jnp.ndarray:
+    """Total cost = 1/2 sum rho(|r|^2), matching Ceres's objective."""
+    (r_st, _, _, v_st), (r_sun, _, _, rho_sun, v_sun), (r_pr, _, v_pr) = _stereo_terms(
+        problem, state
+    )
+    c_st = jnp.sum(jnp.sum(r_st * r_st, axis=-1) * v_st)
+    c_sun = jnp.sum(rho_sun * v_sun)
+    c_pr = jnp.sum(r_pr * r_pr) * v_pr
+    return 0.5 * (c_st + c_sun + c_pr)
+
+
+def ba_normal_equations(problem: StereoBAProblem, state: BAState):
+    """Assemble the dense tangent-space normal equations (H, g).
+
+    Layout: pose k occupies rows [6k, 6k+6); point j rows [6K + 3j, ...).
+    g is the gradient (H dx = -g solved later). Gauge-fixed poses and
+    uninitialized points are handled by zeroing their rows/cols and
+    placing 1 on the diagonal — the tangent equivalent of
+    SetParameterBlockConstant.
+    """
+    p = problem
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    D = 6 * K + 3 * J
+    dtype = state.poses.dtype
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    (st, sun, pr) = _stereo_terms(problem, state)
+
+    r_st, J_pose_st, J_pt_st, v_st = st
+    H, g = _accumulate(
+        H,
+        g,
+        r_st,
+        [(6 * p.stereo.pose_idx, J_pose_st), (6 * K + 3 * p.stereo.point_idx, J_pt_st)],
+        weight=v_st.astype(dtype),
+    )
+
+    r_sun, J_sun, w_sun, _, v_sun = sun
+    H, g = _accumulate(
+        H,
+        g,
+        r_sun,
+        [(6 * jnp.arange(K), J_sun)],
+        weight=w_sun * v_sun.astype(dtype),
+    )
+
+    r_pr, J_pr, v_pr = pr
+    H, g = _accumulate(
+        H,
+        g,
+        r_pr[None],
+        [(6 * p.prior.pose_idx[None], J_pr[None])],
+        weight=v_pr.astype(dtype)[None],
+    )
+
+    # Constant-parameter masking: zero rows/cols, unit diagonal.
+    free = jnp.concatenate(
+        [
+            jnp.repeat(~p.fixed_pose_mask, 6),
+            jnp.repeat(p.point_valid, 3),
+        ]
+    ).astype(dtype)
+    H = H * free[:, None] * free[None, :]
+    g = g * free
+    # Unconstrained-but-free variables (e.g. a valid point with no valid
+    # obs) would leave a zero diagonal; pin those too.
+    diag = jnp.diagonal(H)
+    H = H + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    return H, g
+
+
+def _retract_state(problem: StereoBAProblem, state: BAState, dx: jnp.ndarray) -> BAState:
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    d_pose = dx[: 6 * K].reshape(K, 6)
+    d_pt = dx[6 * K :].reshape(J, 3)
+    d_pose = d_pose * (~problem.fixed_pose_mask[:, None]).astype(dx.dtype)
+    d_pt = d_pt * problem.point_valid[:, None].astype(dx.dtype)
+    return BAState(
+        poses=lie.se3_retract(state.poses, d_pose),
+        points=state.points + d_pt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt trust-region loop (jitted)
+# ---------------------------------------------------------------------------
+
+
+class _LMCarry(NamedTuple):
+    state: BAState
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    grad_norm: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_ba(problem: StereoBAProblem, state0: BAState, config: SolveConfig = SolveConfig()):
+    """Minimize the BA cost with Levenberg-Marquardt.
+
+    Replaces `ceres::Solve` for this problem family. The loop body:
+    assemble -> damped Cholesky solve -> retract -> rho-gated accept, with
+    Marquardt lambda adaptation. Runs entirely on device via
+    `lax.while_loop` (no data-dependent Python control flow).
+    """
+    cost0 = ba_cost(problem, state0)
+    dtype = state0.poses.dtype
+
+    def cond(c: _LMCarry):
+        return (~c.done) & (c.it < config.max_iters)
+
+    def body(c: _LMCarry):
+        H, g = ba_normal_equations(problem, c.state)
+        grad_norm = jnp.max(jnp.abs(g))
+
+        diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
+        A = H + c.lam * jnp.diag(diag)
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        dx = jax.scipy.linalg.cho_solve((L, low), -g)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+
+        new_state = _retract_state(problem, c.state, dx)
+        new_cost = ba_cost(problem, new_state)
+
+        pred_decrease = -(g @ dx + 0.5 * dx @ (H @ dx))
+        actual_decrease = c.cost - new_cost
+        rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
+
+        accept = jnp.isfinite(new_cost) & (actual_decrease > 0.0)
+
+        # Marquardt update (same shape as Ceres's LM strategy):
+        lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_up = c.lam * 4.0
+        lam = jnp.where(accept, jnp.maximum(lam_down, config.min_lambda), jnp.minimum(lam_up, config.max_lambda))
+
+        state = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), new_state, c.state
+        )
+        cost = jnp.where(accept, new_cost, c.cost)
+
+        small_decrease = accept & (
+            actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
+        )
+        small_grad = grad_norm <= config.gtol
+        small_step = jnp.max(jnp.abs(dx)) <= 1e-14
+        done = small_decrease | small_grad | small_step | (c.lam >= config.max_lambda)
+
+        return _LMCarry(state, lam, cost, grad_norm, c.it + 1, done)
+
+    init = _LMCarry(
+        state=state0,
+        lam=jnp.asarray(config.init_lambda, dtype),
+        cost=cost0,
+        grad_norm=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    summary = SolveSummary(
+        iterations=out.it,
+        initial_cost=cost0,
+        final_cost=out.cost,
+        final_grad_norm=out.grad_norm,
+        final_lambda=out.lam,
+    )
+    return out.state, summary
+
+
+@jax.jit
+def pose_tangent_covariance(
+    problem: StereoBAProblem, state: BAState, pose_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """6x6 tangent-space marginal covariance of one pose.
+
+    Replaces `ceres::Covariance::GetCovarianceBlockInTangentSpace`
+    (tests/dataset_vo_sun.cpp:159-183): the marginal covariance is the
+    corresponding 6x6 diagonal block of H^{-1} at the solution, H being
+    the (gauge-fixed) Gauss-Newton Hessian in tangent coordinates.
+    """
+    H, _ = ba_normal_equations(problem, state)
+    Hinv = jnp.linalg.inv(H)
+    base = 6 * pose_idx
+    return jax.lax.dynamic_slice(Hinv, (base, base), (6, 6))

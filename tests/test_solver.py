@@ -1,0 +1,179 @@
+"""Dense LM solver tests on synthetic bundle-adjustment problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import factors, lie
+from ceres_slam_tpu.solver import dense
+
+CAM = StereoCamera.create(500.0, 500.0, 320.0, 240.0, 0.5)
+
+
+def make_problem(key, K=3, J=40, noise_px=0.3, n_pad=7, with_sun=False):
+    ks = jax.random.split(key, 6)
+    # Ground-truth trajectory: forward motion with slight rotation.
+    xi = jnp.stack(
+        [
+            jnp.array([0.0, 0.0, -0.4, 0.02, 0.03, 0.01]) * k
+            for k in range(K)
+        ]
+    )
+    poses_gt = lie.se3_exp(xi)  # T_k_g (camera from global)
+    # Landmarks in front of all cameras (global frame).
+    pts_gt = jax.random.uniform(
+        ks[0], (J, 3), minval=jnp.array([-4.0, -3.0, 4.0]), maxval=jnp.array([4.0, 3.0, 14.0])
+    ).astype(jnp.float64)
+
+    # All (pose, point) pairs observed.
+    pose_idx = jnp.repeat(jnp.arange(K), J)
+    point_idx = jnp.tile(jnp.arange(J), K)
+    p_c = lie.se3_transform_point(poses_gt[pose_idx], pts_gt[point_idx])
+    uvd = CAM.project(p_c)
+    uvd = uvd + noise_px * jax.random.normal(ks[1], uvd.shape, dtype=jnp.float64)
+    N = K * J
+    stiff = jnp.broadcast_to(jnp.eye(3) / noise_px if noise_px > 0 else jnp.eye(3), (N, 3, 3))
+
+    # Pad with garbage that must be ignored.
+    uvd = jnp.concatenate([uvd, jnp.full((n_pad, 3), 1e6)])
+    stiff = jnp.concatenate([stiff, jnp.broadcast_to(jnp.eye(3), (n_pad, 3, 3))])
+    pose_idx = jnp.concatenate([pose_idx, jnp.zeros(n_pad, jnp.int32)])
+    point_idx = jnp.concatenate([point_idx, jnp.zeros(n_pad, jnp.int32)])
+    valid = jnp.concatenate([jnp.ones(N, bool), jnp.zeros(n_pad, bool)])
+
+    stereo = dense.StereoObs(uvd, stiff, pose_idx, point_idx, valid)
+
+    sun_dir_g = jnp.tile(jnp.array([0.0, -1.0, 0.0]), (K, 1))
+    if with_sun:
+        sun_dir_c = lie.se3_transform_vector(poses_gt, sun_dir_g)
+        sun_valid = jnp.ones(K, bool)
+    else:
+        sun_dir_c = jnp.tile(jnp.array([0.0, -1.0, 0.0]), (K, 1))
+        sun_valid = jnp.zeros(K, bool)
+    sun = dense.SunObs(
+        sun_dir_c, sun_dir_g, jnp.broadcast_to(10.0 * jnp.eye(2), (K, 2, 2)), sun_valid
+    )
+
+    prior = dense.PosePrior(
+        pose_idx=jnp.asarray(0, jnp.int32),
+        T_ref=poses_gt[0],
+        stiffness=1e6 * jnp.eye(6),
+        valid=jnp.asarray(with_sun),  # sun variant uses prior, plain uses gauge fix
+    )
+
+    fixed = jnp.zeros(K, bool).at[0].set(not with_sun)
+    problem = dense.StereoBAProblem(
+        camera=CAM,
+        stereo=stereo,
+        sun=sun,
+        prior=prior,
+        fixed_pose_mask=fixed,
+        point_valid=jnp.ones(J, bool),
+        sun_huber=jnp.asarray(0.0),
+        az_err_thresh=jnp.asarray(1000.0),
+        zen_err_thresh=jnp.asarray(1000.0),
+    )
+    return problem, dense.BAState(poses_gt, pts_gt), ks[5]
+
+
+def perturb(state, key, pose_scale=0.05, pt_scale=0.3):
+    k1, k2 = jax.random.split(key)
+    K = state.poses.shape[0]
+    dp = pose_scale * jax.random.normal(k1, (K, 6), dtype=jnp.float64)
+    dp = dp.at[0].set(0.0)
+    return dense.BAState(
+        poses=lie.se3_retract(state.poses, dp),
+        points=state.points + pt_scale * jax.random.normal(k2, state.points.shape, dtype=jnp.float64),
+    )
+
+
+class TestSolveBA:
+    def test_converges_to_ground_truth_noiseless(self):
+        problem, gt, key = make_problem(jax.random.PRNGKey(0), noise_px=0.0)
+        init = perturb(gt, key)
+        sol, summary = dense.solve_ba(problem, init, dense.SolveConfig(max_iters=50))
+        assert float(summary.final_cost) < 1e-16
+        # poses recover GT (gauge fixed at pose 0)
+        err = jax.vmap(
+            lambda a, b: lie.se3_log(lie.se3_compose(a, lie.se3_inverse(b)))
+        )(sol.poses, gt.poses)
+        assert float(jnp.max(jnp.abs(err))) < 1e-6
+        assert float(jnp.max(jnp.abs(sol.points - gt.points))) < 1e-5
+
+    def test_reduces_cost_with_noise(self):
+        problem, gt, key = make_problem(jax.random.PRNGKey(1), noise_px=0.3)
+        init = perturb(gt, key)
+        c0 = dense.ba_cost(problem, init)
+        sol, summary = dense.solve_ba(problem, init)
+        assert float(summary.final_cost) < 0.2 * float(c0)
+        # converged near GT despite noise
+        err = jax.vmap(
+            lambda a, b: lie.se3_log(lie.se3_compose(a, lie.se3_inverse(b)))
+        )(sol.poses, gt.poses)
+        assert float(jnp.max(jnp.abs(err))) < 0.02
+
+    def test_padding_is_ignored(self):
+        p1, gt, key = make_problem(jax.random.PRNGKey(2), noise_px=0.1, n_pad=0)
+        p2, _, _ = make_problem(jax.random.PRNGKey(2), noise_px=0.1, n_pad=13)
+        init = perturb(gt, key)
+        s1, _ = dense.solve_ba(p1, init)
+        s2, _ = dense.solve_ba(p2, init)
+        assert np.allclose(s1.poses, s2.poses, atol=1e-10)
+
+    def test_gauge_fixed_pose_does_not_move(self):
+        problem, gt, key = make_problem(jax.random.PRNGKey(3), noise_px=0.5)
+        init = perturb(gt, key)
+        sol, _ = dense.solve_ba(problem, init)
+        assert np.allclose(sol.poses[0], gt.poses[0], atol=0)
+
+    def test_sun_factors_improve_orientation(self):
+        # With heavy pose noise and exact sun observations, enabling sun
+        # factors must reduce final rotational error vs the same problem
+        # without them.
+        problem_sun, gt, key = make_problem(jax.random.PRNGKey(4), noise_px=1.0, with_sun=True)
+        init = perturb(gt, key, pose_scale=0.1)
+        sol, summary = dense.solve_ba(problem_sun, init)
+        assert np.isfinite(float(summary.final_cost))
+        err = jax.vmap(
+            lambda a, b: lie.se3_log(lie.se3_compose(a, lie.se3_inverse(b)))
+        )(sol.poses, gt.poses)
+        assert float(jnp.max(jnp.abs(err[:, 3:]))) < 0.05
+
+
+class TestCovariance:
+    def test_prior_only_covariance(self):
+        # A pose constrained only by a prior: tangent covariance must equal
+        # the prior covariance (stiffness = cov^{-1/2}).
+        K, J = 1, 2
+        cov_gt = jnp.diag(jnp.array([0.04, 0.09, 0.01, 0.0025, 0.0016, 0.0049]))
+        stiffness = factors.inv_sqrt_psd(cov_gt)
+        T = lie.se3_exp(jnp.array([0.3, -0.2, 0.5, 0.1, 0.05, -0.02]))
+        stereo = dense.StereoObs(
+            uvd=jnp.zeros((1, 3)),
+            stiffness=jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+            pose_idx=jnp.zeros(1, jnp.int32),
+            point_idx=jnp.zeros(1, jnp.int32),
+            valid=jnp.zeros(1, bool),
+        )
+        sun = dense.SunObs(
+            dir_c=jnp.zeros((K, 3)),
+            dir_g=jnp.zeros((K, 3)),
+            stiffness=jnp.broadcast_to(jnp.eye(2), (K, 2, 2)),
+            valid=jnp.zeros(K, bool),
+        )
+        prior = dense.PosePrior(jnp.asarray(0, jnp.int32), T, stiffness, jnp.asarray(True))
+        problem = dense.StereoBAProblem(
+            camera=CAM,
+            stereo=stereo,
+            sun=sun,
+            prior=prior,
+            fixed_pose_mask=jnp.zeros(K, bool),
+            point_valid=jnp.zeros(J, bool),
+            sun_huber=jnp.asarray(0.0),
+            az_err_thresh=jnp.asarray(1000.0),
+            zen_err_thresh=jnp.asarray(1000.0),
+        )
+        state = dense.BAState(T[None], jnp.zeros((J, 3)))
+        cov = dense.pose_tangent_covariance(problem, state, jnp.asarray(0))
+        assert np.allclose(cov, cov_gt, atol=1e-9)
