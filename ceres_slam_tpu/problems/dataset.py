@@ -1,0 +1,449 @@
+"""Dataset problem layer: state containers + CSV IO + pipeline orchestration.
+
+TPU-native redesign of the reference's L5 layer
+(`/root/reference/src/ceres_slam/dataset_problem{,_sun}.cpp`): reads the
+same CSV formats, owns the structure-of-arrays state (poses ``[K,12]``,
+points ``[J,3]``), runs the VO initial-guess chain (triangulate + batched
+RANSAC + pose compounding, dataset_problem.cpp:179-270), builds padded
+static-shape window problems for the jitted LM solver, and chains the
+tangent covariance prior between windows (tests/dataset_vo_sun.cpp:159-183).
+
+Host/device split: index bookkeeping (reciprocal matching, window slot
+remapping, padding) is cold-path numpy; triangulation, RANSAC scoring and
+the window solves are jitted JAX. Shapes are padded to per-dataset maxima
+so each pipeline compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_slam_tpu.frontend import alignment
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import factors, lie
+from ceres_slam_tpu.solver import dense
+from ceres_slam_tpu.utils import csvio
+
+
+def _round_up(n: int, m: int = 64) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@dataclasses.dataclass
+class DatasetProblem:
+    """Plain stereo VO/BA dataset (dataset_problem.{hpp,cpp}).
+
+    Track CSV format (dataset_problem.hpp:57-65): header ``K,J``;
+    intrinsics ``fu,fv,cu,cv,b``; shared observation variances; first GT
+    pose as a row-major 4x4; then rows ``k, j, u, v, d``.
+    """
+
+    camera: StereoCamera = None
+    num_states: int = 0
+    num_points: int = 0
+    poses: np.ndarray = None  # [K, 12] T_k_g
+    map_points: np.ndarray = None  # [J, 3]
+    initialized_point: np.ndarray = None  # [J] bool
+    state_ids: np.ndarray = None  # [N]
+    point_ids: np.ndarray = None  # [N]
+    obs_list: np.ndarray = None  # [N, 3] uvd
+    obs_covars: np.ndarray = None  # [N, 3, 3]
+    stereo_obs_var: np.ndarray = None  # [3]
+    # RANSAC settings (dataset_problem.cpp:248)
+    ransac_iters: int = 400
+    ransac_thresh: float = 4.0
+    rng_seed: int = 42
+
+    # -- IO -----------------------------------------------------------------
+
+    @classmethod
+    def read_csv(cls, filename: str) -> "DatasetProblem":
+        self = cls()
+        rows = csvio.read_numeric_csv(filename)
+        self._parse_header(rows, with_var_line=True)
+        body = rows[self._header_lines :]
+        self._parse_obs(body, with_covar=False)
+        self._init_state()
+        return self
+
+    _header_lines = 4
+
+    def _parse_header(self, rows, with_var_line: bool):
+        self.num_states, self.num_points = int(rows[0][0]), int(rows[0][1])
+        fu, fv, cu, cv, b = rows[1][:5]
+        self.camera = StereoCamera.create(fu, fv, cu, cv, b)
+        i = 2
+        if with_var_line:
+            self.stereo_obs_var = np.asarray(rows[i][:3])
+            i += 1
+        T_0_g = np.asarray(rows[i][:16]).reshape(4, 4)
+        self._T0 = np.concatenate([T_0_g[:3, 3], T_0_g[:3, :3].reshape(9)])
+        self._header_lines = i + 1
+
+    def _parse_obs(self, body, with_covar: bool):
+        arr = np.asarray(body)
+        self.state_ids = arr[:, 0].astype(np.int64)
+        self.point_ids = arr[:, 1].astype(np.int64)
+        self.obs_list = arr[:, 2:5].copy()
+        if with_covar:
+            self.obs_covars = arr[:, 5:14].reshape(-1, 3, 3).copy()
+        else:
+            self.obs_covars = np.broadcast_to(
+                np.diag(self.stereo_obs_var), (arr.shape[0], 3, 3)
+            ).copy()
+
+    def _init_state(self):
+        K, J = self.num_states, self.num_points
+        self.poses = np.zeros((K, 12))
+        self.poses[:] = np.concatenate([np.zeros(3), np.eye(3).reshape(9)])
+        self.poses[0] = self._T0
+        self.map_points = np.zeros((J, 3))
+        self.initialized_point = np.zeros(J, bool)
+        # inverted indexes (dataset_problem.cpp:87-118)
+        self._state_obs = [
+            np.nonzero(self.state_ids == k)[0] for k in range(K)
+        ]
+        # pre-triangulated camera-frame points for all observations
+        self._pts_c = np.asarray(self.camera.triangulate(jnp.asarray(self.obs_list)))
+        # static pad size for RANSAC match arrays
+        max_matches = 1
+        for k in range(1, K):
+            m = np.intersect1d(
+                self.point_ids[self._state_obs[k - 1]],
+                self.point_ids[self._state_obs[k]],
+            ).size
+            max_matches = max(max_matches, m)
+        self._match_pad = _round_up(max_matches)
+
+    def write_csv(self, filename: str):
+        """Emit ``<base>_poses.csv`` + ``<base>_map.csv``
+        (dataset_problem.cpp:123-165)."""
+        base = filename.rsplit(".", 1)[0]
+        csvio.write_poses_csv(base + "_poses.csv", self.poses)
+        csvio.write_map_csv(
+            base + "_map.csv", self.map_points, self.initialized_point
+        )
+
+    # -- accessors matching the reference API --------------------------------
+
+    def obs_indices_at_state(self, k: int) -> np.ndarray:
+        return self._state_obs[k]
+
+    def obs_indices_for_feature(self, j: int) -> np.ndarray:
+        return np.nonzero(self.point_ids == j)[0]
+
+    def reset_points(self):
+        self.initialized_point[:] = False
+
+    # -- VO initial guess (dataset_problem.cpp:179-270) -----------------------
+
+    def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
+        if k1 >= k2:
+            k1, k2 = 0, self.num_states
+        ok_all = True
+        for k in range(k1 + 1, k2):
+            idx_a = self._state_obs[k - 1]
+            idx_b = self._state_obs[k]
+            _, ia, ib = np.intersect1d(
+                self.point_ids[idx_a], self.point_ids[idx_b], return_indices=True
+            )
+            idx_a, idx_b = idx_a[ia], idx_b[ib]
+            M = idx_a.size
+            if M < 3:
+                return False
+            P = self._match_pad
+            pts0 = np.zeros((P, 3))
+            pts1 = np.zeros((P, 3))
+            pts0[:M] = self._pts_c[idx_a]
+            pts1[:M] = self._pts_c[idx_b]
+            valid = np.zeros(P, bool)
+            valid[:M] = True
+
+            res = alignment.ransac_align(
+                self.camera,
+                jnp.asarray(pts0),
+                jnp.asarray(pts1),
+                jnp.asarray(valid),
+                jax.random.PRNGKey(self.rng_seed + k),
+                num_iters=self.ransac_iters,
+                thresh=self.ransac_thresh,
+            )
+            n_inl = int(res.num_inliers)
+            if n_inl < 3:
+                ok_all = False
+                return False
+            T_k_km1 = np.asarray(res.T_1_0)
+            # Compound onto the previous pose (dataset_problem.cpp:241)
+            self.poses[k] = np.asarray(
+                lie.se3_compose(jnp.asarray(T_k_km1), jnp.asarray(self.poses[k - 1]))
+            )
+            # Initialize inlier landmarks in the base frame (:245-255)
+            inl = np.asarray(res.inliers)[:M]
+            jj = self.point_ids[idx_a[inl]]
+            new = ~self.initialized_point[jj]
+            if np.any(new):
+                T_inv = lie.se3_inverse(jnp.asarray(self.poses[k - 1]))
+                p_g = np.asarray(
+                    lie.se3_transform_point(T_inv, jnp.asarray(self._pts_c[idx_a[inl]]))
+                )
+                self.map_points[jj[new]] = p_g[new]
+                self.initialized_point[jj[new]] = True
+        return ok_all
+
+    # -- window problem construction -----------------------------------------
+
+    def _window_budget(self, window: int):
+        """Static pad sizes (obs, active points) across all windows."""
+        K = self.num_states
+        max_obs, max_pts = 1, 1
+        for k1 in range(0, K - window + 1):
+            sel = np.concatenate(self._state_obs[k1 : k1 + window])
+            max_obs = max(max_obs, sel.size)
+            max_pts = max(max_pts, np.unique(self.point_ids[sel]).size)
+        return _round_up(max_obs), _round_up(max_pts)
+
+    def build_window_problem(
+        self,
+        k1: int,
+        k2: int,
+        n_obs_pad: int,
+        n_pts_pad: int,
+        prior: dense.PosePrior | None = None,
+        sun: dense.SunObs | None = None,
+        sun_huber: float = 0.0,
+        az_err_thresh: float = 1000.0,
+        zen_err_thresh: float = 1000.0,
+        gauge_fix_first: bool = True,
+    ):
+        """Build a padded StereoBAProblem + BAState for window [k1, k2)."""
+        Kw = k2 - k1
+        sel = np.concatenate(self._state_obs[k1:k2])
+        slots, local_pt = np.unique(self.point_ids[sel], return_inverse=True)
+        n_obs, n_pts = sel.size, slots.size
+        assert n_obs <= n_obs_pad and n_pts <= n_pts_pad, "pad budget too small"
+
+        uvd = np.zeros((n_obs_pad, 3))
+        uvd[:n_obs] = self.obs_list[sel]
+        covar = np.broadcast_to(np.eye(3), (n_obs_pad, 3, 3)).copy()
+        covar[:n_obs] = self.obs_covars[sel]
+        pose_idx = np.zeros(n_obs_pad, np.int32)
+        pose_idx[:n_obs] = self.state_ids[sel] - k1
+        point_idx = np.zeros(n_obs_pad, np.int32)
+        point_idx[:n_obs] = local_pt
+        valid = np.zeros(n_obs_pad, bool)
+        valid[:n_obs] = True
+
+        point_valid = np.zeros(n_pts_pad, bool)
+        point_valid[:n_pts] = self.initialized_point[slots]
+
+        stiffness = factors.inv_sqrt_psd(jnp.asarray(covar))
+        stereo = dense.StereoObs(
+            uvd=jnp.asarray(uvd),
+            stiffness=stiffness,
+            pose_idx=jnp.asarray(pose_idx),
+            point_idx=jnp.asarray(point_idx),
+            valid=jnp.asarray(valid),
+        )
+        if sun is None:
+            sun = dense.SunObs(
+                dir_c=jnp.zeros((Kw, 3)),
+                dir_g=jnp.zeros((Kw, 3)),
+                stiffness=jnp.broadcast_to(jnp.eye(2), (Kw, 2, 2)),
+                valid=jnp.zeros(Kw, bool),
+            )
+        if prior is None:
+            prior = dense.PosePrior(
+                pose_idx=jnp.asarray(0, jnp.int32),
+                T_ref=jnp.asarray(self.poses[k1]),
+                stiffness=jnp.eye(6),
+                valid=jnp.asarray(False),
+            )
+        fixed = np.zeros(Kw, bool)
+        fixed[0] = gauge_fix_first
+        problem = dense.StereoBAProblem(
+            camera=self.camera,
+            stereo=stereo,
+            sun=sun,
+            prior=prior,
+            fixed_pose_mask=jnp.asarray(fixed),
+            point_valid=jnp.asarray(point_valid),
+            sun_huber=jnp.asarray(float(sun_huber)),
+            az_err_thresh=jnp.asarray(float(az_err_thresh)),
+            zen_err_thresh=jnp.asarray(float(zen_err_thresh)),
+        )
+
+        pts = np.zeros((n_pts_pad, 3))
+        pts[:n_pts] = self.map_points[slots]
+        state = dense.BAState(
+            poses=jnp.asarray(self.poses[k1:k2]), points=jnp.asarray(pts)
+        )
+        return problem, state, slots
+
+    def absorb_window_solution(self, k1, k2, state: dense.BAState, slots: np.ndarray):
+        """Write the solved window state back into the dataset arrays
+        (Ceres mutates the parameter blocks in place; we copy back)."""
+        self.poses[k1:k2] = np.asarray(state.poses)
+        pts = np.asarray(state.points)[: slots.size]
+        upd = self.initialized_point[slots]
+        self.map_points[slots[upd]] = pts[upd]
+
+    # -- drivers --------------------------------------------------------------
+
+    def solve_full(self, window: int = 0, config: dense.SolveConfig | None = None):
+        """The `dataset_vo` pipeline (tests/dataset_vo.cpp:119-131): for each
+        window: VO initial guess, window BA with the first pose fixed,
+        reset_points. window=0 means full batch."""
+        config = config or dense.SolveConfig(max_iters=100)
+        K = self.num_states
+        window = window or K
+        n_obs_pad, n_pts_pad = self._window_budget(window)
+        summaries = []
+        for k1 in range(0, K - window + 1):
+            k2 = min(k1 + window, K)
+            self.compute_initial_guess(k1, k2)
+            problem, state, slots = self.build_window_problem(
+                k1, k2, n_obs_pad, n_pts_pad, gauge_fix_first=True
+            )
+            sol, summary = dense.solve_ba(problem, state, config)
+            self.absorb_window_solution(k1, k2, sol, slots)
+            summaries.append(summary)
+            self.reset_points()
+        return summaries
+
+
+@dataclasses.dataclass
+class DatasetProblemSun(DatasetProblem):
+    """Sun-aided sliding-window VO dataset (dataset_problem_sun.{hpp,cpp}).
+
+    Adds per-observation full stereo covariances, per-state pose covariances
+    for the sliding-window prior chain, and ENU ephemeris + camera-frame sun
+    observations read from two extra CSVs (dataset_problem_sun.cpp:16-182).
+    """
+
+    pose_covars: np.ndarray = None  # [K, 6, 6]
+    sun_dir_g: np.ndarray = None  # [K, 3]
+    sun_obs_list: np.ndarray = None  # [K, 3]
+    sun_obs_covars: np.ndarray = None  # [K, 2, 2]
+    state_has_sun_obs: np.ndarray = None  # [K] bool
+
+    @classmethod
+    def read_csv(
+        cls, track_file: str, ref_sun_file: str, obs_sun_file: str
+    ) -> "DatasetProblemSun":
+        self = cls()
+        rows = csvio.read_numeric_csv(track_file)
+        self._parse_header(rows, with_var_line=False)
+        self._parse_obs(rows[self._header_lines :], with_covar=True)
+        self._init_state()
+
+        K = self.num_states
+        # First pose covariance ~ exact (dataset_problem_sun.cpp:80)
+        self.pose_covars = np.zeros((K, 6, 6))
+        self.pose_covars[:] = 1e-12 * np.eye(6)
+
+        self.sun_dir_g = np.zeros((K, 3))
+        self.sun_obs_list = np.zeros((K, 3))
+        self.sun_obs_covars = np.broadcast_to(np.eye(2), (K, 2, 2)).copy()
+        self.state_has_sun_obs = np.zeros(K, bool)
+
+        for row in csvio.read_numeric_csv(ref_sun_file):
+            k = int(row[0])
+            self.sun_dir_g[k] = row[1:4]
+        for row in csvio.read_numeric_csv(obs_sun_file):
+            k = int(row[0])
+            self.sun_obs_list[k] = row[1:4]
+            self.sun_obs_covars[k] = np.asarray(row[4:8]).reshape(2, 2)
+            self.state_has_sun_obs[k] = True
+        # normalize both directions (sun_sensor_error.hpp:30-31)
+        def _norm(a):
+            n = np.linalg.norm(a, axis=-1, keepdims=True)
+            return np.where(n > 0, a / np.maximum(n, 1e-30), a)
+
+        self.sun_dir_g = _norm(self.sun_dir_g)
+        self.sun_obs_list = _norm(self.sun_obs_list)
+        return self
+
+    def write_csv(self, filename: str):
+        """Poses only (dataset_problem_sun.cpp:184-233)."""
+        base = filename.rsplit(".", 1)[0]
+        csvio.write_poses_csv(base + "_poses.csv", self.poses)
+
+    def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
+        """Returns False if any pair has <3 RANSAC inliers
+        (dataset_problem_sun.cpp:324-327)."""
+        return super().compute_initial_guess(k1, k2)
+
+    def _window_sun(self, k1: int, k2: int) -> dense.SunObs:
+        return dense.SunObs(
+            dir_c=jnp.asarray(self.sun_obs_list[k1:k2]),
+            dir_g=jnp.asarray(self.sun_dir_g[k1:k2]),
+            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.sun_obs_covars[k1:k2])),
+            valid=jnp.asarray(self.state_has_sun_obs[k1:k2]),
+        )
+
+    def _window_prior(self, k1: int) -> dense.PosePrior:
+        return dense.PosePrior(
+            pose_idx=jnp.asarray(0, jnp.int32),
+            T_ref=jnp.asarray(self.poses[k1]),
+            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.pose_covars[k1])),
+            valid=jnp.asarray(True),
+        )
+
+    def solve_sliding_window(
+        self,
+        window: int = 2,
+        use_sun: bool = False,
+        huber_param: float = 0.0,
+        az_err_thresh: float = 1000.0,
+        zen_err_thresh: float = 1000.0,
+        config: dense.SolveConfig | None = None,
+        progress: bool = False,
+    ):
+        """One pass of the flagship pipeline (tests/dataset_vo_sun.cpp:265-312):
+        per window — VO initial guess, window solve with a pose prior from
+        the previous window's covariance, covariance extraction for the
+        next window's prior; on RANSAC failure, copy pose and covariance
+        forward (:276-281)."""
+        config = config or dense.SolveConfig(max_iters=100)
+        K = self.num_states
+        window = window or K
+        n_obs_pad, n_pts_pad = self._window_budget(window)
+        summaries = []
+        for k1 in range(0, K - window + 1):
+            k2 = min(k1 + window, K)
+            if self.compute_initial_guess(k1, k2):
+                problem, state, slots = self.build_window_problem(
+                    k1,
+                    k2,
+                    n_obs_pad,
+                    n_pts_pad,
+                    prior=self._window_prior(k1),
+                    sun=self._window_sun(k1, k2) if use_sun else None,
+                    sun_huber=huber_param if use_sun else 0.0,
+                    az_err_thresh=az_err_thresh,
+                    zen_err_thresh=zen_err_thresh,
+                    gauge_fix_first=False,
+                )
+                sol, summary = dense.solve_ba(problem, state, config)
+                self.absorb_window_solution(k1, k2, sol, slots)
+                cov = np.asarray(
+                    dense.pose_tangent_covariance(problem, sol, jnp.asarray(1))
+                )
+                if np.all(np.isfinite(cov)):
+                    self.pose_covars[k1 + 1] = cov
+                else:
+                    # covariance failure fallback (tests/dataset_vo_sun.cpp:172-177)
+                    self.pose_covars[k1 + 1] = self.pose_covars[k1]
+                summaries.append(summary)
+            else:
+                # RANSAC degeneracy fallback (tests/dataset_vo_sun.cpp:276-281)
+                self.poses[k2 - 1] = self.poses[k1]
+                self.pose_covars[k2 - 1] = self.pose_covars[k1]
+            self.reset_points()
+            if progress and (k1 % 50 == 0):
+                print(f"  window [{k1},{k2}) done")
+        return summaries

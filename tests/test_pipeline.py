@@ -1,0 +1,112 @@
+"""End-to-end pipeline tests: sim generation -> reference-format CSV ->
+dataset layer -> VO initial guess -> windowed BA -> ATE vs ground truth.
+
+This is the machine-checked version of the reference's dataset-driver
+validation (SURVEY.md §4.3) on a small self-generated sim sequence."""
+
+import numpy as np
+import pytest
+
+from ceres_slam_tpu.problems.dataset import DatasetProblem, DatasetProblemSun
+from ceres_slam_tpu.utils import metrics, sim
+
+
+@pytest.fixture(scope="module")
+def sim_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sim")
+    ds = sim.generate(
+        kind="triangle", num_states=24, num_points=200, seed=3,
+        stereo_noise=(0.3, 0.3, 0.3), sun_noise_deg=5.0,
+    )
+    track_vo = str(d / "tri_vo.csv")
+    track_sun = str(d / "tri_sun.csv")
+    ref_sun = str(d / "sun_ref.csv")
+    obs_sun = str(d / "sun_dir_gtsun5.csv")
+    sim.write_track_csv(ds, track_vo, with_covar=False)
+    sim.write_track_csv(ds, track_sun, with_covar=True)
+    sim.write_ref_sun_csv(ds, ref_sun)
+    sim.write_obs_sun_csv(ds, obs_sun)
+    return dict(
+        ds=ds, track_vo=track_vo, track_sun=track_sun, ref_sun=ref_sun,
+        obs_sun=obs_sun, dir=d,
+    )
+
+
+class TestIO:
+    def test_read_plain_track(self, sim_files):
+        ds = sim_files["ds"]
+        prob = DatasetProblem.read_csv(sim_files["track_vo"])
+        assert prob.num_states == ds.num_states
+        assert prob.num_points == ds.num_points
+        assert prob.state_ids.size == ds.uvd.shape[0]
+        assert np.allclose(prob.obs_list, ds.uvd)
+        assert np.allclose(prob.poses[0], ds.poses_gt[0])
+        assert np.allclose(prob.stereo_obs_var, ds.stereo_var)
+
+    def test_read_sun_track(self, sim_files):
+        ds = sim_files["ds"]
+        prob = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        assert prob.num_states == ds.num_states
+        assert np.allclose(prob.obs_covars, ds.uvd_covar)
+        assert np.allclose(prob.sun_dir_g[0] * np.linalg.norm(ds.sun_dir_g[0]), ds.sun_dir_g[0], atol=1e-12)
+        assert prob.state_has_sun_obs.all()
+        assert np.allclose(prob.pose_covars[0], 1e-12 * np.eye(6))
+
+    def test_write_read_poses_roundtrip(self, sim_files, tmp_path):
+        from ceres_slam_tpu.utils import csvio
+
+        prob = DatasetProblem.read_csv(sim_files["track_vo"])
+        out = str(tmp_path / "x.csv")
+        prob.poses[:] = sim_files["ds"].poses_gt
+        prob.write_csv(out)
+        back = csvio.read_poses_csv(str(tmp_path / "x_poses.csv"))
+        assert np.allclose(back, sim_files["ds"].poses_gt, atol=1e-15)
+
+
+class TestInitialGuess:
+    def test_vo_chain_tracks_ground_truth(self, sim_files):
+        prob = DatasetProblem.read_csv(sim_files["track_vo"])
+        ok = prob.compute_initial_guess(0, prob.num_states)
+        assert ok
+        ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
+        # frame-to-frame RANSAC VO drifts, but on 24 frames should stay tight
+        assert ate < 0.5, f"VO-only ATE too large: {ate}"
+        assert prob.initialized_point.sum() > 50
+
+
+class TestWindowedBA:
+    def test_sliding_window_vo(self, sim_files):
+        prob = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        summaries = prob.solve_sliding_window(window=2, use_sun=False)
+        assert len(summaries) == prob.num_states - 1
+        ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
+        assert ate < 0.2, f"windowed BA ATE: {ate}"
+        # covariance chain propagated: covariances grow along the traverse
+        assert np.trace(prob.pose_covars[10]) > np.trace(prob.pose_covars[1])
+
+    def test_sliding_window_with_sun_bounds_rotation(self, sim_files):
+        prob = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        prob.solve_sliding_window(window=2, use_sun=False)
+        rot_vo = metrics.rotation_error_deg(prob.poses, sim_files["ds"].poses_gt).max()
+
+        prob2 = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        prob2.solve_sliding_window(window=2, use_sun=True)
+        rot_sun = metrics.rotation_error_deg(prob2.poses, sim_files["ds"].poses_gt).max()
+        ate = metrics.ate_translation(prob2.poses, sim_files["ds"].poses_gt)
+        assert ate < 0.3
+        # sun observations must not blow up orientation; typically they help
+        assert rot_sun < max(rot_vo * 1.5, 3.0)
+
+    def test_full_batch_ba(self, sim_files):
+        prob = DatasetProblem.read_csv(sim_files["track_vo"])
+        prob.solve_full(window=0)
+        ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
+        assert ate < 0.15, f"full-batch BA ATE: {ate}"
