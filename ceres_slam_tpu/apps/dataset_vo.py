@@ -1,0 +1,45 @@
+"""Stereo VO / full-batch BA driver.
+
+TPU-native counterpart of `/root/reference/tests/dataset_vo.cpp`:
+``dataset_vo <input_file> [--window N=0]`` — window 0 means full batch
+(:119-121). Reads the plain track CSV, runs the VO initial-guess +
+windowed-BA pipeline with the first window pose held constant (:62), and
+emits ``<base>_poses.csv`` / ``<base>_map.csv``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+
+    p = base_parser("dataset_vo: stereo VO / full-batch bundle adjustment")
+    p.add_argument("input_file")
+    p.add_argument("--window", type=int, default=0, help="0 = full batch")
+    args = p.parse_args(argv)
+    setup_jax(args.platform)
+
+    from ceres_slam_tpu.problems.dataset import DatasetProblem
+    from ceres_slam_tpu.solver.dense import SolveConfig
+
+    dataset = DatasetProblem.read_csv(args.input_file)
+    print(
+        f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
+        f"{dataset.state_ids.size} observations",
+        file=sys.stderr,
+    )
+    summaries = dataset.solve_full(
+        window=args.window, config=SolveConfig(max_iters=args.max_iters)
+    )
+    for i, s in enumerate(summaries):
+        print(
+            f"window {i}: cost {float(s.initial_cost):.6e} -> "
+            f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
+        )
+    dataset.write_csv(args.input_file)
+
+
+if __name__ == "__main__":
+    main()

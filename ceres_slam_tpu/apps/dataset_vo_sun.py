@@ -1,0 +1,80 @@
+"""Sun-aided sliding-window VO driver (the flagship workload).
+
+TPU-native counterpart of `/root/reference/tests/dataset_vo_sun.cpp`:
+
+  dataset_vo_sun <track_file> <ref_sun_file> <obs_sun_file>
+      [--window (2)] [--huber-param (0)]
+      [--az-err-thresh (1000)] [--zen-err-thresh (1000)] [--sun-only]
+
+Two passes (tests/dataset_vo_sun.cpp:265-312): VO-only (unless
+--sun-only), emitting the VO trajectory named after the track file, then
+VO+sun, emitting ``<track>_<sunmethod>_poses.csv`` where the sun method is
+the last '_'-token of the obs-sun file stem (:314-321). Thresholds are
+accepted in degrees and converted to radians (:228-239).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+
+def main(argv=None):
+    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+
+    p = base_parser("dataset_vo_sun: sun-aided sliding-window stereo VO")
+    p.add_argument("track_file")
+    p.add_argument("ref_sun_file")
+    p.add_argument("obs_sun_file")
+    p.add_argument("--window", type=int, default=2)
+    p.add_argument("--huber-param", type=float, default=0.0)
+    p.add_argument("--az-err-thresh", type=float, default=1000.0, help="degrees")
+    p.add_argument("--zen-err-thresh", type=float, default=1000.0, help="degrees")
+    p.add_argument("--sun-only", action="store_true")
+    args = p.parse_args(argv)
+    setup_jax(args.platform)
+
+    from ceres_slam_tpu.problems.dataset import DatasetProblemSun
+    from ceres_slam_tpu.solver.dense import SolveConfig
+
+    az_thresh = args.az_err_thresh * math.pi / 180.0
+    zen_thresh = args.zen_err_thresh * math.pi / 180.0
+    config = SolveConfig(max_iters=args.max_iters)
+
+    dataset = DatasetProblemSun.read_csv(
+        args.track_file, args.ref_sun_file, args.obs_sun_file
+    )
+    print(
+        f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
+        f"{dataset.state_ids.size} stereo obs, "
+        f"{int(dataset.state_has_sun_obs.sum())} sun obs",
+        file=sys.stderr,
+    )
+
+    if not args.sun_only:
+        print("Computing VO without sun measurements", file=sys.stderr)
+        dataset.solve_sliding_window(
+            window=args.window, use_sun=False, config=config, progress=True
+        )
+        dataset.write_csv(args.track_file)
+
+    print("Computing VO with sun measurements", file=sys.stderr)
+    dataset.solve_sliding_window(
+        window=args.window,
+        use_sun=True,
+        huber_param=args.huber_param,
+        az_err_thresh=az_thresh,
+        zen_err_thresh=zen_thresh,
+        config=config,
+        progress=True,
+    )
+
+    # Output name: <track>_<last '_'-token of obs sun file> (:314-321)
+    track_base = args.track_file.rsplit(".", 1)[0]
+    obs_base = args.obs_sun_file.rsplit(".", 1)[0]
+    sun_method = obs_base.split("_")[-1]
+    dataset.write_csv(f"{track_base}_{sun_method}.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -199,15 +199,43 @@ def ba_cost(problem: StereoBAProblem, state: BAState) -> jnp.ndarray:
     return 0.5 * (c_st + c_sun + c_pr)
 
 
-def ba_normal_equations(problem: StereoBAProblem, state: BAState):
-    """Assemble the dense tangent-space normal equations (H, g).
+def stereo_normal_contrib(
+    camera: StereoCamera,
+    stereo: StereoObs,
+    point_valid: jnp.ndarray,
+    state: BAState,
+):
+    """Stereo-factor contribution to the dense normal equations.
 
-    Layout: pose k occupies rows [6k, 6k+6); point j rows [6K + 3j, ...).
-    g is the gradient (H dx = -g solved later). Gauge-fixed poses and
-    uninitialized points are handled by zeroing their rows/cols and
-    placing 1 on the diagonal — the tangent equivalent of
-    SetParameterBlockConstant.
+    Split out so the distributed path (`ceres_slam_tpu/parallel`) can
+    shard_map it over observation shards and psum-reduce the partial
+    (H, g) — each observation's contribution is independent, so the sum
+    over shards is exact.
     """
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    D = 6 * K + 3 * J
+    dtype = state.poses.dtype
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    T_obs = state.poses[stereo.pose_idx]
+    pt_obs = state.points[stereo.point_idx]
+    r, J_pose, J_pt = factors.stereo_reprojection(
+        camera, T_obs, pt_obs, stereo.uvd, stereo.stiffness
+    )
+    valid = stereo.valid & point_valid[stereo.point_idx]
+    return _accumulate(
+        H,
+        g,
+        r,
+        [(6 * stereo.pose_idx, J_pose), (6 * K + 3 * stereo.point_idx, J_pt)],
+        weight=valid.astype(dtype),
+    )
+
+
+def aux_normal_contrib(problem: StereoBAProblem, state: BAState):
+    """Sun + pose-prior contribution (small, per-state terms)."""
     p = problem
     K = state.poses.shape[0]
     J = state.points.shape[0]
@@ -216,40 +244,49 @@ def ba_normal_equations(problem: StereoBAProblem, state: BAState):
     H = jnp.zeros((D, D), dtype)
     g = jnp.zeros((D,), dtype)
 
-    (st, sun, pr) = _stereo_terms(problem, state)
-
-    r_st, J_pose_st, J_pt_st, v_st = st
-    H, g = _accumulate(
-        H,
-        g,
-        r_st,
-        [(6 * p.stereo.pose_idx, J_pose_st), (6 * K + 3 * p.stereo.point_idx, J_pt_st)],
-        weight=v_st.astype(dtype),
+    r_sun, J_sun = factors.sun_sensor(
+        state.poses,
+        p.sun.dir_c,
+        p.sun.dir_g,
+        p.sun.stiffness,
+        az_err_thresh=p.az_err_thresh,
+        zen_err_thresh=p.zen_err_thresh,
     )
-
-    r_sun, J_sun, w_sun, _, v_sun = sun
+    sq = jnp.sum(r_sun * r_sun, axis=-1)
+    w_sun = jnp.where(
+        p.sun_huber > 0.0,
+        loss_mod.huber_weight(sq, jnp.maximum(p.sun_huber, 1e-30)),
+        1.0,
+    )
     H, g = _accumulate(
         H,
         g,
         r_sun,
         [(6 * jnp.arange(K), J_sun)],
-        weight=w_sun * v_sun.astype(dtype),
+        weight=w_sun * p.sun.valid.astype(dtype),
     )
 
-    r_pr, J_pr, v_pr = pr
+    r_pr, J_pr = factors.pose_prior(
+        state.poses[p.prior.pose_idx], p.prior.T_ref, p.prior.stiffness
+    )
     H, g = _accumulate(
         H,
         g,
         r_pr[None],
         [(6 * p.prior.pose_idx[None], J_pr[None])],
-        weight=v_pr.astype(dtype)[None],
+        weight=p.prior.valid.astype(dtype)[None],
     )
+    return H, g
 
-    # Constant-parameter masking: zero rows/cols, unit diagonal.
+
+def apply_gauge_mask(problem: StereoBAProblem, H: jnp.ndarray, g: jnp.ndarray):
+    """Constant-parameter masking: zero rows/cols, unit diagonal — the
+    tangent equivalent of SetParameterBlockConstant (dataset_vo.cpp:62)."""
+    dtype = H.dtype
     free = jnp.concatenate(
         [
-            jnp.repeat(~p.fixed_pose_mask, 6),
-            jnp.repeat(p.point_valid, 3),
+            jnp.repeat(~problem.fixed_pose_mask, 6),
+            jnp.repeat(problem.point_valid, 3),
         ]
     ).astype(dtype)
     H = H * free[:, None] * free[None, :]
@@ -259,6 +296,19 @@ def ba_normal_equations(problem: StereoBAProblem, state: BAState):
     diag = jnp.diagonal(H)
     H = H + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     return H, g
+
+
+def ba_normal_equations(problem: StereoBAProblem, state: BAState):
+    """Assemble the dense tangent-space normal equations (H, g).
+
+    Layout: pose k occupies rows [6k, 6k+6); point j rows [6K + 3j, ...).
+    g is the gradient (H dx = -g solved later).
+    """
+    H, g = stereo_normal_contrib(
+        problem.camera, problem.stereo, problem.point_valid, state
+    )
+    H2, g2 = aux_normal_contrib(problem, state)
+    return apply_gauge_mask(problem, H + H2, g + g2)
 
 
 def _retract_state(problem: StereoBAProblem, state: BAState, dx: jnp.ndarray) -> BAState:
@@ -288,15 +338,14 @@ class _LMCarry(NamedTuple):
     done: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("config",))
-def solve_ba(problem: StereoBAProblem, state0: BAState, config: SolveConfig = SolveConfig()):
-    """Minimize the BA cost with Levenberg-Marquardt.
-
-    Replaces `ceres::Solve` for this problem family. The loop body:
-    assemble -> damped Cholesky solve -> retract -> rho-gated accept, with
-    Marquardt lambda adaptation. Runs entirely on device via
-    `lax.while_loop` (no data-dependent Python control flow).
-    """
+def lm_minimize(
+    problem: StereoBAProblem,
+    state0: BAState,
+    config: SolveConfig,
+    normal_eq_fn=ba_normal_equations,
+):
+    """Levenberg-Marquardt core, parameterized over the normal-equations
+    builder so the distributed path can substitute a shard_mapped one."""
     cost0 = ba_cost(problem, state0)
     dtype = state0.poses.dtype
 
@@ -304,7 +353,7 @@ def solve_ba(problem: StereoBAProblem, state0: BAState, config: SolveConfig = So
         return (~c.done) & (c.it < config.max_iters)
 
     def body(c: _LMCarry):
-        H, g = ba_normal_equations(problem, c.state)
+        H, g = normal_eq_fn(problem, c.state)
         grad_norm = jnp.max(jnp.abs(g))
 
         diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
@@ -359,6 +408,20 @@ def solve_ba(problem: StereoBAProblem, state0: BAState, config: SolveConfig = So
         final_lambda=out.lam,
     )
     return out.state, summary
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_ba(
+    problem: StereoBAProblem, state0: BAState, config: SolveConfig = SolveConfig()
+):
+    """Minimize the BA cost with Levenberg-Marquardt.
+
+    Replaces `ceres::Solve` for this problem family. The loop body:
+    assemble -> damped Cholesky solve -> retract -> rho-gated accept, with
+    Marquardt lambda adaptation. Runs entirely on device via
+    `lax.while_loop` (no data-dependent Python control flow).
+    """
+    return lm_minimize(problem, state0, config)
 
 
 @jax.jit
