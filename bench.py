@@ -1,0 +1,180 @@
+"""Benchmark: bundle-adjustment LM iterations/s on one chip.
+
+Measures the full BA iteration pipeline (batched residual/Jacobian factor
+kernels -> block-sparse Gauss-Newton assembly via segment-sums ->
+Schur-complement landmark elimination -> reduced Cholesky -> SE(3)
+retraction -> cost) at KITTI-window scale, plus the batched RANSAC front
+end. Iterations run inside a jitted lax.fori_loop so per-call dispatch
+overhead (~30 ms through the axon relay) is amortized, and timing forces
+a scalar fetch (block_until_ready is a no-op under the relay).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+the speedup of the default (TPU) backend over the same XLA program on the
+multi-threaded host CPU — the stand-in for the reference's 8-thread Ceres
+CPU configuration (tests/dataset_vo.cpp:67-68).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# Problem scale: ~KITTI window batch (64 frames, 2k landmarks, 16k obs).
+K, J, N_OBS = 64, 2048, 16384
+RANSAC_N, RANSAC_ITERS = 512, 400
+LOOP_ITERS = 50  # LM iterations fused into one device call
+
+
+def build(dtype):
+    import __graft_entry__ as ge
+
+    return ge._build_example(K=K, J=J, n_obs=N_OBS, dtype=dtype, seed=7)
+
+
+def lm_loop_fn():
+    """R full LM iterations (assembly + Schur solve + retract + cost +
+    accept/damping logic) fused into one jitted call."""
+    import jax
+    import jax.numpy as jnp
+
+    from ceres_slam_tpu.solver import dense, schur
+
+    @jax.jit
+    def run(problem, state):
+        def body(_, carry):
+            state, lam, cost = carry
+            blocks = dense.ba_block_normal_equations(problem, state)
+            dx, g, Hdx = schur.schur_step(problem, blocks, lam)
+            new_state = dense._retract_state(problem, state, dx)
+            new_cost = dense.ba_cost(problem, new_state)
+            accept = jnp.isfinite(new_cost) & (new_cost < cost)
+            lam = jnp.where(accept, lam * (1.0 / 3.0), lam * 4.0)
+            lam = jnp.clip(lam, 1e-10, 1e8)
+            state = jax.tree.map(
+                lambda n, o: jnp.where(accept, n, o), new_state, state
+            )
+            return state, lam, jnp.where(accept, new_cost, cost)
+
+        state, lam, cost = jax.lax.fori_loop(
+            0, LOOP_ITERS, body, (state, jnp.asarray(1e-4, state.poses.dtype),
+                                  dense.ba_cost(problem, state))
+        )
+        return cost
+
+    return run
+
+
+def _sync(x) -> float:
+    return float(x)  # forces device->host fetch (real sync under the relay)
+
+
+def measure_lm(dtype) -> float:
+    problem, state = build(dtype)
+    run = lm_loop_fn()
+    _sync(run(problem, state))  # compile + warm
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        c = run(problem, state)
+    _sync(c)
+    dt = time.perf_counter() - t0
+    return reps * LOOP_ITERS / dt
+
+
+def measure_ransac(dtype) -> float:
+    """RANSAC scoring throughput (hypotheses x points / s), 20 alignments
+    fused per call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ceres_slam_tpu.frontend import alignment
+    from ceres_slam_tpu.models.stereo_camera import StereoCamera
+    from ceres_slam_tpu.ops import lie
+
+    cam = StereoCamera.create(
+        *(jnp.asarray(v, dtype) for v in (500.0, 500.0, 320.0, 240.0, 0.5))
+    )
+    rng = np.random.default_rng(0)
+    pts0 = jnp.asarray(rng.uniform([-4, -3, 4], [4, 3, 14], (RANSAC_N, 3)), dtype)
+    T = lie.se3_exp(jnp.asarray([0.1, 0, -0.3, 0.02, 0.03, 0.01], dtype))
+    pts1 = lie.se3_transform_point(T, pts0)
+    valid = jnp.ones(RANSAC_N, bool)
+    FUSED = 20
+
+    @jax.jit
+    def run(key):
+        def body(i, acc):
+            res = alignment.ransac_align(
+                cam, pts0, pts1, valid, jax.random.fold_in(key, i),
+                num_iters=RANSAC_ITERS,
+            )
+            return acc + res.num_inliers
+
+        return jax.lax.fori_loop(0, FUSED, body, jnp.asarray(0, jnp.int32))
+
+    _sync(run(jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    reps = 5
+    for i in range(reps):
+        c = run(jax.random.PRNGKey(i))
+    _sync(c)
+    dt = time.perf_counter() - t0
+    return reps * FUSED * RANSAC_ITERS * RANSAC_N / dt
+
+
+def main():
+    if "--backend-probe" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+
+        print(json.dumps({"lm_iters_per_s": measure_lm(jnp.float32)}))
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    lm = measure_lm(jnp.float32)
+    ransac = measure_ransac(jnp.float32)
+
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, __file__, "--backend-probe"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=env,
+        )
+        cpu_lm = json.loads(out.stdout.strip().splitlines()[-1])["lm_iters_per_s"]
+    except Exception:
+        cpu_lm = float("nan")
+
+    vs = lm / cpu_lm if cpu_lm == cpu_lm and cpu_lm > 0 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iterations_per_s",
+                "value": round(lm, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs, 3),
+                "baseline": "same XLA BA LM iteration on multithreaded host CPU (stand-in for reference's 8-thread Ceres)",
+                "platform": platform,
+                "problem": {"K": K, "J": J, "n_obs": N_OBS, "dof": 6 * K + 3 * J},
+                "cpu_lm_iters_per_s": round(cpu_lm, 3) if cpu_lm == cpu_lm else None,
+                "ransac_point_hypotheses_per_s": round(ransac, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -199,50 +199,97 @@ def ba_cost(problem: StereoBAProblem, state: BAState) -> jnp.ndarray:
     return 0.5 * (c_st + c_sun + c_pr)
 
 
-def stereo_normal_contrib(
+class BlockNormalEq(NamedTuple):
+    """Block-sparse Gauss-Newton system for BA.
+
+    This IS the classic Schur structure: pose diagonal blocks B_k, landmark
+    diagonal blocks C_j, and the pose-landmark coupling W. Built with
+    segment-sums (TPU-friendly sorted reductions) instead of giant dense
+    scatters; the dense solver materializes H from it, the Schur solver
+    eliminates the landmarks from it directly.
+    """
+
+    Hpp: jnp.ndarray  # [K, 6, 6]
+    Hll: jnp.ndarray  # [J, 3, 3]
+    W: jnp.ndarray  # [K, J, 6, 3]
+    gp: jnp.ndarray  # [K, 6]
+    gl: jnp.ndarray  # [J, 3]
+
+
+def stereo_block_contrib(
     camera: StereoCamera,
     stereo: StereoObs,
     point_valid: jnp.ndarray,
     state: BAState,
-):
-    """Stereo-factor contribution to the dense normal equations.
+) -> BlockNormalEq:
+    """Stereo-factor contribution in block form.
 
     Split out so the distributed path (`ceres_slam_tpu/parallel`) can
     shard_map it over observation shards and psum-reduce the partial
-    (H, g) — each observation's contribution is independent, so the sum
+    blocks — each observation's contribution is independent, so the sum
     over shards is exact.
     """
     K = state.poses.shape[0]
     J = state.points.shape[0]
-    D = 6 * K + 3 * J
     dtype = state.poses.dtype
-    H = jnp.zeros((D, D), dtype)
-    g = jnp.zeros((D,), dtype)
 
     T_obs = state.poses[stereo.pose_idx]
     pt_obs = state.points[stereo.point_idx]
     r, J_pose, J_pt = factors.stereo_reprojection(
         camera, T_obs, pt_obs, stereo.uvd, stereo.stiffness
     )
-    valid = stereo.valid & point_valid[stereo.point_idx]
-    return _accumulate(
-        H,
-        g,
-        r,
-        [(6 * stereo.pose_idx, J_pose), (6 * K + 3 * stereo.point_idx, J_pt)],
-        weight=valid.astype(dtype),
+    valid = (stereo.valid & point_valid[stereo.point_idx]).astype(dtype)
+    r = r * valid[:, None]
+    J_pose = J_pose * valid[:, None, None]
+    J_pt = J_pt * valid[:, None, None]
+
+    seg = jax.ops.segment_sum
+    Hpp = seg(
+        jnp.einsum("nri,nrj->nij", J_pose, J_pose), stereo.pose_idx, num_segments=K
     )
+    Hll = seg(
+        jnp.einsum("nri,nrj->nij", J_pt, J_pt), stereo.point_idx, num_segments=J
+    )
+    pair_idx = stereo.pose_idx * J + stereo.point_idx
+    W = seg(
+        jnp.einsum("nri,nrj->nij", J_pose, J_pt), pair_idx, num_segments=K * J
+    ).reshape(K, J, 6, 3)
+    gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), stereo.pose_idx, num_segments=K)
+    gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), stereo.point_idx, num_segments=J)
+    return BlockNormalEq(Hpp, Hll, W, gp, gl)
 
 
-def aux_normal_contrib(problem: StereoBAProblem, state: BAState):
-    """Sun + pose-prior contribution (small, per-state terms)."""
+def blocks_to_dense(blocks: BlockNormalEq):
+    """Materialize the dense tangent H, g from the block system."""
+    K, J = blocks.Hpp.shape[0], blocks.Hll.shape[0]
+    D = 6 * K + 3 * J
+    dtype = blocks.Hpp.dtype
+    H = jnp.zeros((D, D), dtype)
+    H = _scatter_H(H, 6 * jnp.arange(K), 6 * jnp.arange(K), blocks.Hpp)
+    H = _scatter_H(H, 6 * K + 3 * jnp.arange(J), 6 * K + 3 * jnp.arange(J), blocks.Hll)
+    W_dense = blocks.W.transpose(0, 2, 1, 3).reshape(6 * K, 3 * J)
+    H = H.at[: 6 * K, 6 * K :].add(W_dense)
+    H = H.at[6 * K :, : 6 * K].add(W_dense.T)
+    g = jnp.concatenate([blocks.gp.reshape(-1), blocks.gl.reshape(-1)])
+    return H, g
+
+
+def stereo_normal_contrib(
+    camera: StereoCamera,
+    stereo: StereoObs,
+    point_valid: jnp.ndarray,
+    state: BAState,
+):
+    """Stereo-factor contribution to the dense normal equations."""
+    return blocks_to_dense(stereo_block_contrib(camera, stereo, point_valid, state))
+
+
+def aux_pose_blocks(problem: StereoBAProblem, state: BAState):
+    """Sun + pose-prior contributions — they only touch the pose diagonal
+    blocks, so they are returned as (Hpp_add [K,6,6], gp_add [K,6])."""
     p = problem
     K = state.poses.shape[0]
-    J = state.points.shape[0]
-    D = 6 * K + 3 * J
     dtype = state.poses.dtype
-    H = jnp.zeros((D, D), dtype)
-    g = jnp.zeros((D,), dtype)
 
     r_sun, J_sun = factors.sun_sensor(
         state.poses,
@@ -258,24 +305,41 @@ def aux_normal_contrib(problem: StereoBAProblem, state: BAState):
         loss_mod.huber_weight(sq, jnp.maximum(p.sun_huber, 1e-30)),
         1.0,
     )
-    H, g = _accumulate(
-        H,
-        g,
-        r_sun,
-        [(6 * jnp.arange(K), J_sun)],
-        weight=w_sun * p.sun.valid.astype(dtype),
-    )
+    w = (w_sun * p.sun.valid.astype(dtype))[:, None]
+    r_sun = r_sun * w
+    J_sun = J_sun * w[..., None]
+    Hpp = jnp.einsum("kri,krj->kij", J_sun, J_sun)
+    gp = jnp.einsum("kri,kr->ki", J_sun, r_sun)
 
     r_pr, J_pr = factors.pose_prior(
         state.poses[p.prior.pose_idx], p.prior.T_ref, p.prior.stiffness
     )
-    H, g = _accumulate(
-        H,
-        g,
-        r_pr[None],
-        [(6 * p.prior.pose_idx[None], J_pr[None])],
-        weight=p.prior.valid.astype(dtype)[None],
+    wp = p.prior.valid.astype(dtype)
+    Hpp = Hpp.at[p.prior.pose_idx].add(wp * J_pr.T @ J_pr)
+    gp = gp.at[p.prior.pose_idx].add(wp * (J_pr.T @ r_pr))
+    return Hpp, gp
+
+
+def ba_block_normal_equations(problem: StereoBAProblem, state: BAState) -> BlockNormalEq:
+    """Full block-sparse Gauss-Newton system (stereo + sun + prior)."""
+    blocks = stereo_block_contrib(
+        problem.camera, problem.stereo, problem.point_valid, state
     )
+    Hpp_aux, gp_aux = aux_pose_blocks(problem, state)
+    return blocks._replace(Hpp=blocks.Hpp + Hpp_aux, gp=blocks.gp + gp_aux)
+
+
+def aux_normal_contrib(problem: StereoBAProblem, state: BAState):
+    """Sun + pose-prior contribution as a dense (H, g) — used by the
+    distributed path which adds it to the psum-reduced stereo part."""
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    D = 6 * K + 3 * J
+    dtype = state.poses.dtype
+    Hpp, gp = aux_pose_blocks(problem, state)
+    H = jnp.zeros((D, D), dtype)
+    H = _scatter_H(H, 6 * jnp.arange(K), 6 * jnp.arange(K), Hpp)
+    g = jnp.zeros((D,), dtype).at[: 6 * K].set(gp.reshape(-1))
     return H, g
 
 
@@ -304,11 +368,8 @@ def ba_normal_equations(problem: StereoBAProblem, state: BAState):
     Layout: pose k occupies rows [6k, 6k+6); point j rows [6K + 3j, ...).
     g is the gradient (H dx = -g solved later).
     """
-    H, g = stereo_normal_contrib(
-        problem.camera, problem.stereo, problem.point_valid, state
-    )
-    H2, g2 = aux_normal_contrib(problem, state)
-    return apply_gauge_mask(problem, H + H2, g + g2)
+    H, g = blocks_to_dense(ba_block_normal_equations(problem, state))
+    return apply_gauge_mask(problem, H, g)
 
 
 def _retract_state(problem: StereoBAProblem, state: BAState, dx: jnp.ndarray) -> BAState:

@@ -177,3 +177,43 @@ class TestCovariance:
         state = dense.BAState(T[None], jnp.zeros((J, 3)))
         cov = dense.pose_tangent_covariance(problem, state, jnp.asarray(0))
         assert np.allclose(cov, cov_gt, atol=1e-9)
+
+
+class TestSchur:
+    def test_schur_step_matches_dense_solve(self):
+        from ceres_slam_tpu.solver import schur
+        import jax.scipy.linalg as jsl
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(8), K=4, J=60, noise_px=0.4)
+        init = perturb(gt, key)
+        lam = jnp.asarray(1e-3)
+
+        H, g = dense.ba_normal_equations(problem, init)
+        diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
+        L, low = jsl.cho_factor(H + lam * jnp.diag(diag), lower=True)
+        dx_ref = jsl.cho_solve((L, low), -g)
+
+        blocks = dense.ba_block_normal_equations(problem, init)
+        dx, g_s, Hdx = schur.schur_step(problem, blocks, lam)
+        assert np.allclose(dx, dx_ref, atol=1e-8)
+        assert np.allclose(g_s, g, atol=1e-10)
+        assert np.allclose(Hdx, H @ dx, atol=1e-8)
+
+    def test_schur_lm_converges_like_dense(self):
+        from ceres_slam_tpu.solver import schur
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(9), noise_px=0.3)
+        init = perturb(gt, key)
+        sol_d, sum_d = dense.solve_ba(problem, init)
+        sol_s, sum_s = schur.solve_ba_schur(problem, init)
+        assert np.allclose(float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-6)
+        assert np.allclose(sol_s.poses, sol_d.poses, atol=1e-6)
+
+    def test_schur_with_sun_and_prior(self):
+        from ceres_slam_tpu.solver import schur
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(10), noise_px=0.5, with_sun=True)
+        init = perturb(gt, key)
+        sol_d, sum_d = dense.solve_ba(problem, init)
+        sol_s, sum_s = schur.solve_ba_schur(problem, init)
+        assert np.allclose(float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-5)
