@@ -1,0 +1,56 @@
+"""Phong-illumination BA driver.
+
+TPU-native counterpart of `/root/reference/tests/dataset_ba_phong.cpp`:
+
+  dataset_ba_phong <input> [--nolight] [--dirlight] [--multistage] [--window N]
+
+Reads the Phong track CSV, runs the full-trajectory VO initial guess with
+material/texture initialization, solves geometry + lighting (optionally
+with the 3-stage schedule), and writes ``_poses.csv`` / ``_map.csv`` /
+``_lights.csv``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+
+    p = base_parser("dataset_ba_phong: joint geometry + Phong lighting BA")
+    p.add_argument("input_file")
+    p.add_argument("--nolight", action="store_true", help="geometry only")
+    p.add_argument("--dirlight", action="store_true", help="directional light model")
+    p.add_argument("--multistage", action="store_true", help="3-stage solve schedule")
+    p.add_argument("--window", type=int, default=0, help="0 = full batch")
+    args = p.parse_args(argv)
+    setup_jax(args.platform)
+
+    from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
+    from ceres_slam_tpu.solver.lm import SolveConfig
+
+    dataset = DatasetProblemPhong.read_csv(
+        args.input_file, directional_light=args.dirlight
+    )
+    print(
+        f"Loaded {dataset.num_states} states, {dataset.num_vertices} vertices, "
+        f"{dataset.num_materials} materials, {dataset.state_ids.size} observations",
+        file=sys.stderr,
+    )
+    summaries = dataset.solve_full(
+        window=args.window,
+        use_light=not args.nolight,
+        multistage=args.multistage,
+        config=SolveConfig(max_iters=args.max_iters),
+    )
+    for i, s in enumerate(summaries):
+        print(
+            f"stage {i}: cost {float(s.initial_cost):.6e} -> "
+            f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
+        )
+    dataset.write_csv(args.input_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Phong BA dataset layer (dataset_problem_phong.{hpp,cpp}).
+
+Track CSV format (dataset_problem_phong.cpp:16-117): header ``K,J,M``;
+intrinsics; stereo(3) + normal(3) + intensity(1) variances; initial light
+position/direction; first GT pose 4x4; rows ``[t,j,m,u,v,d,I,nx,ny,nz]``.
+Outputs three files (write_csv, :175-235): ``_poses.csv``, ``_map.csv``
+(``point_id,x,y,z,nx,ny,nz,ka,ks,exponent,kd``), ``_lights.csv``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_slam_tpu.frontend import alignment
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import lie
+from ceres_slam_tpu.solver import lm as lm_mod
+from ceres_slam_tpu.solver import phong as phong_mod
+from ceres_slam_tpu.utils import csvio
+
+
+@dataclasses.dataclass
+class DatasetProblemPhong:
+    camera: StereoCamera = None
+    directional_light: bool = False
+    num_states: int = 0
+    num_vertices: int = 0
+    num_materials: int = 0
+    poses: np.ndarray = None  # [K, 12]
+    vertex_positions: np.ndarray = None  # [J, 3]
+    vertex_normals: np.ndarray = None  # [J, 3]
+    material_of_vertex: np.ndarray = None  # [J] (filled from obs at init)
+    materials: np.ndarray = None  # [M, 3] phong params
+    textures: np.ndarray = None  # [M]
+    light: np.ndarray = None  # [3]
+    initialized_vertex: np.ndarray = None  # [J] bool
+    # observations
+    state_ids: np.ndarray = None  # [N] (timestamps mapped to state index)
+    vertex_ids: np.ndarray = None
+    material_ids: np.ndarray = None
+    obs_list: np.ndarray = None  # [N, 3]
+    int_list: np.ndarray = None  # [N]
+    normal_obs_list: np.ndarray = None  # [N, 3]
+    stereo_obs_var: np.ndarray = None  # [3]
+    normal_obs_var: np.ndarray = None  # [3]
+    int_var: float = 0.0
+    ransac_iters: int = 400
+    ransac_thresh: float = 9.0  # dataset_problem_phong.cpp:345
+    rng_seed: int = 42
+
+    # -- IO -------------------------------------------------------------
+
+    @classmethod
+    def read_csv(cls, filename: str, directional_light: bool = False):
+        self = cls(directional_light=directional_light)
+        rows = csvio.read_numeric_csv(filename)
+        self.num_states = int(rows[0][0])
+        self.num_vertices = int(rows[0][1])
+        self.num_materials = int(rows[0][2])
+        fu, fv, cu, cv, b = rows[1][:5]
+        self.camera = StereoCamera.create(fu, fv, cu, cv, b)
+        self.stereo_obs_var = np.asarray(rows[2][:3])
+        self.normal_obs_var = np.asarray(rows[2][3:6])
+        self.int_var = float(rows[2][6])
+        self.light = np.asarray(rows[3][:3])
+        if directional_light:
+            self.light = self.light / np.linalg.norm(self.light)
+        T_0_g = np.asarray(rows[4][:16]).reshape(4, 4)
+
+        body = np.asarray(rows[5:])
+        # Timestamps (column 0) may be arbitrary; map to dense state ids by
+        # change-points, like the reference (dataset_problem_phong.cpp:121-134).
+        t = body[:, 0]
+        state_ids = np.concatenate([[0], np.cumsum(t[1:] != t[:-1])]).astype(np.int64)
+        self.state_ids = state_ids
+        self.vertex_ids = body[:, 1].astype(np.int64)
+        self.material_ids = body[:, 2].astype(np.int64)
+        self.obs_list = body[:, 3:6].copy()
+        self.int_list = body[:, 6].copy()
+        self.normal_obs_list = body[:, 7:10].copy()
+
+        K, J, M = self.num_states, self.num_vertices, self.num_materials
+        self.poses = np.zeros((K, 12))
+        self.poses[:] = np.concatenate([np.zeros(3), np.eye(3).reshape(9)])
+        self.poses[0] = np.concatenate([T_0_g[:3, 3], T_0_g[:3, :3].reshape(9)])
+        self.vertex_positions = np.zeros((J, 3))
+        self.vertex_normals = np.tile(np.array([0.0, 0.0, 1.0]), (J, 1))
+        self.material_of_vertex = np.zeros(J, np.int64)
+        for n in range(self.vertex_ids.size):
+            self.material_of_vertex[self.vertex_ids[n]] = self.material_ids[n]
+        self.materials = np.tile(np.array([0.0, 0.0, 1.0]), (M, 1))
+        self.textures = np.full(M, 0.5)
+        self.initialized_vertex = np.zeros(J, bool)
+        self._state_obs = [np.nonzero(self.state_ids == k)[0] for k in range(K)]
+        self._pts_c = np.asarray(self.camera.triangulate(jnp.asarray(self.obs_list)))
+        max_matches = 1
+        for k in range(1, K):
+            m = np.intersect1d(
+                self.vertex_ids[self._state_obs[k - 1]],
+                self.vertex_ids[self._state_obs[k]],
+            ).size
+            max_matches = max(max_matches, m)
+        self._match_pad = max(64, ((max_matches + 63) // 64) * 64)
+        return self
+
+    def obs_indices_at_state(self, k):
+        return self._state_obs[k]
+
+    def obs_indices_for_feature(self, j):
+        return np.nonzero(self.vertex_ids == j)[0]
+
+    def obs_indices_for_material(self, m):
+        return np.nonzero(self.material_ids == m)[0]
+
+    def reset_points(self):
+        self.initialized_vertex[:] = False
+
+    def write_csv(self, filename: str):
+        base = filename.rsplit(".", 1)[0]
+        csvio.write_poses_csv(base + "_poses.csv", self.poses)
+        with open(base + "_map.csv", "w") as f:
+            f.write("point_id, x, y, z, nx, ny, nz, ka, ks, exponent, kd\n")
+            for j in range(self.num_vertices):
+                if self.initialized_vertex[j]:
+                    m = self.material_of_vertex[j]
+                    vals = (
+                        list(self.vertex_positions[j])
+                        + list(self.vertex_normals[j])
+                        + list(self.materials[m])
+                        + [self.textures[m]]
+                    )
+                    f.write(f"{j}," + ",".join(repr(float(x)) for x in vals) + "\n")
+        with open(base + "_lights.csv", "w") as f:
+            f.write("i, j, k\n" if self.directional_light else "x, y, z\n")
+            f.write(",".join(repr(float(x)) for x in self.light) + "\n")
+
+    # -- initial guess (dataset_problem_phong.cpp:251-391) ----------------
+
+    def compute_initial_guess(self, k1: int = 0, k2: int = 0):
+        if k1 >= k2:
+            k1, k2 = 0, self.num_states
+
+        # Material init: phong = (0,0,1); texture = median observed
+        # intensity over the material's observations (:266-278).
+        for m in range(self.num_materials):
+            self.materials[m] = [0.0, 0.0, 1.0]
+            ints = self.int_list[self.obs_indices_for_material(m)]
+            if ints.size:
+                half = ints.size // 2
+                self.textures[m] = np.partition(ints, half)[half]
+
+        for k in range(k1 + 1, k2):
+            idx_a = self._state_obs[k - 1]
+            idx_b = self._state_obs[k]
+            _, ia, ib = np.intersect1d(
+                self.vertex_ids[idx_a], self.vertex_ids[idx_b], return_indices=True
+            )
+            idx_a, idx_b = idx_a[ia], idx_b[ib]
+            M_ = idx_a.size
+            if M_ < 3:
+                continue
+            P = self._match_pad
+            pts0 = np.zeros((P, 3))
+            pts1 = np.zeros((P, 3))
+            pts0[:M_] = self._pts_c[idx_a]
+            pts1[:M_] = self._pts_c[idx_b]
+            valid = np.zeros(P, bool)
+            valid[:M_] = True
+            res = alignment.ransac_align(
+                self.camera,
+                jnp.asarray(pts0),
+                jnp.asarray(pts1),
+                jnp.asarray(valid),
+                jax.random.PRNGKey(self.rng_seed + k),
+                num_iters=self.ransac_iters,
+                thresh=self.ransac_thresh,
+            )
+            self.poses[k] = np.asarray(
+                lie.se3_compose(jnp.asarray(res.T_1_0), jnp.asarray(self.poses[k - 1]))
+            )
+            inl = np.asarray(res.inliers)[:M_]
+            jj = self.vertex_ids[idx_a[inl]]
+            new = ~self.initialized_vertex[jj]
+            if np.any(new):
+                T_inv = lie.se3_inverse(jnp.asarray(self.poses[k - 1]))
+                p_g = np.asarray(
+                    lie.se3_transform_point(T_inv, jnp.asarray(self._pts_c[idx_a[inl]]))
+                )
+                n_g = np.asarray(
+                    lie.se3_transform_vector(
+                        T_inv, jnp.asarray(self.normal_obs_list[idx_a[inl]])
+                    )
+                )
+                self.vertex_positions[jj[new]] = p_g[new]
+                norms = np.linalg.norm(n_g[new], axis=-1, keepdims=True)
+                self.vertex_normals[jj[new]] = n_g[new] / np.maximum(norms, 1e-12)
+                self.initialized_vertex[jj[new]] = True
+
+    # -- solving -----------------------------------------------------------
+
+    def _build_problem(self, k1, k2):
+        sel = np.concatenate(self._state_obs[k1:k2])
+        from ceres_slam_tpu.ops import factors as factors_mod
+
+        obs = phong_mod.PhongObs(
+            uvd=jnp.asarray(self.obs_list[sel]),
+            int_obs=jnp.asarray(self.int_list[sel]),
+            normal_obs=jnp.asarray(self.normal_obs_list[sel]),
+            pose_idx=jnp.asarray(self.state_ids[sel] - k1, jnp.int32),
+            vertex_idx=jnp.asarray(self.vertex_ids[sel], jnp.int32),
+            material_idx=jnp.asarray(self.material_ids[sel], jnp.int32),
+            valid=jnp.ones(sel.size, bool),
+        )
+        Kw = k2 - k1
+        problem = phong_mod.PhongBAProblem(
+            camera=self.camera,
+            obs=obs,
+            stereo_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.stereo_obs_var))),
+            normal_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.normal_obs_var))),
+            int_stiffness=jnp.asarray(1.0 / np.sqrt(self.int_var)),
+            fixed_pose_mask=jnp.zeros(Kw, bool).at[0].set(True),
+            vertex_valid=jnp.asarray(self.initialized_vertex),
+        )
+        state = phong_mod.PhongState(
+            poses=jnp.asarray(self.poses[k1:k2]),
+            points=jnp.asarray(self.vertex_positions),
+            normals=jnp.asarray(self.vertex_normals),
+            phong=jnp.asarray(self.materials),
+            textures=jnp.asarray(self.textures),
+            light=jnp.asarray(self.light),
+        )
+        return problem, state
+
+    def solve_full(
+        self,
+        window: int = 0,
+        use_light: bool = True,
+        multistage: bool = False,
+        config: lm_mod.SolveConfig | None = None,
+    ):
+        """The dataset_ba_phong pipeline (tests/dataset_ba_phong.cpp:298-331):
+        full-trajectory initial guess, then (windowed or full-batch)
+        staged solves."""
+        config = config or lm_mod.SolveConfig(max_iters=100)
+        K = self.num_states
+        window = window or K
+        all_summaries = []
+        self.compute_initial_guess(0, K)
+        for k1 in range(0, K - window + 1, max(1, window - 1) if window < K else K):
+            k2 = min(k1 + window, K)
+            problem, state = self._build_problem(k1, k2)
+            sol, summaries = phong_mod.solve_phong_staged(
+                problem, state, config,
+                use_light=use_light,
+                directional=self.directional_light,
+                multistage=multistage,
+            )
+            self.poses[k1:k2] = np.asarray(sol.poses)
+            upd = self.initialized_vertex
+            self.vertex_positions[upd] = np.asarray(sol.points)[upd]
+            self.vertex_normals[upd] = np.asarray(sol.normals)[upd]
+            self.materials = np.asarray(sol.phong)
+            self.textures = np.asarray(sol.textures)
+            self.light = np.asarray(sol.light)
+            all_summaries.extend(summaries)
+        return all_summaries

@@ -1,0 +1,124 @@
+"""Generic jitted Levenberg-Marquardt trust-region loop.
+
+Shared by every problem family (stereo/sun BA, Phong BA, photometric
+alignment): the caller supplies a cost function, a normal-equations
+builder, a linear-step solver, and a retraction; the loop runs entirely
+on device in a `lax.while_loop` — the replacement for `ceres::Solve`'s
+minimizer iteration (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveConfig(NamedTuple):
+    max_iters: int = 50
+    ftol: float = 1e-9
+    gtol: float = 1e-12
+    init_lambda: float = 1e-4
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e10
+
+
+class SolveSummary(NamedTuple):
+    iterations: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    final_grad_norm: jnp.ndarray
+    final_lambda: jnp.ndarray
+
+
+class _Carry(NamedTuple):
+    state: object
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    grad_norm: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def lm_solve(
+    state0,
+    config: SolveConfig,
+    cost_fn: Callable,  # state -> scalar cost
+    step_fn: Callable,  # (state, lam) -> (dx, g, Hdx)
+    retract_fn: Callable,  # (state, dx) -> state
+):
+    """Run LM. `step_fn` solves the damped system and returns the step dx,
+    the gradient g, and the undamped Hessian-vector product H dx (for the
+    predicted-decrease ratio)."""
+    cost0 = cost_fn(state0)
+    dtype = cost0.dtype
+
+    def cond(c: _Carry):
+        return (~c.done) & (c.it < config.max_iters)
+
+    def body(c: _Carry):
+        dx, g, Hdx = step_fn(c.state, c.lam)
+        grad_norm = jnp.max(jnp.abs(g))
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+
+        new_state = retract_fn(c.state, dx)
+        new_cost = cost_fn(new_state)
+
+        pred_decrease = -(g @ dx + 0.5 * dx @ Hdx)
+        actual_decrease = c.cost - new_cost
+        rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
+
+        accept = jnp.isfinite(new_cost) & (actual_decrease > 0.0)
+        lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_up = c.lam * 4.0
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam_down, config.min_lambda),
+            jnp.minimum(lam_up, config.max_lambda),
+        )
+        state = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), new_state, c.state
+        )
+        cost = jnp.where(accept, new_cost, c.cost)
+        small_decrease = accept & (
+            actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
+        )
+        done = (
+            small_decrease
+            | (grad_norm <= config.gtol)
+            | (jnp.max(jnp.abs(dx)) <= 1e-14)
+            | (c.lam >= config.max_lambda)
+        )
+        return _Carry(state, lam, cost, grad_norm, c.it + 1, done)
+
+    init = _Carry(
+        state=state0,
+        lam=jnp.asarray(config.init_lambda, dtype),
+        cost=cost0,
+        grad_norm=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.state, SolveSummary(
+        iterations=out.it,
+        initial_cost=cost0,
+        final_cost=out.cost,
+        final_grad_norm=out.grad_norm,
+        final_lambda=out.lam,
+    )
+
+
+def dense_cholesky_step(normal_eq_fn: Callable):
+    """Standard damped dense step: (H + lam diag(H)) dx = -g."""
+
+    def step(state, lam):
+        H, g = normal_eq_fn(state)
+        diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
+        A = H + lam * jnp.diag(diag)
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        dx = jax.scipy.linalg.cho_solve((L, low), -g)
+        return dx, g, H @ dx
+
+    return step

@@ -1,0 +1,182 @@
+"""Phong-illumination BA tests: joint geometry + lighting estimation on a
+synthetic shaded scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ceres_slam_tpu.models import lighting
+from ceres_slam_tpu.models.stereo_camera import StereoCamera
+from ceres_slam_tpu.ops import lie
+from ceres_slam_tpu.solver import lm, phong
+
+CAM = StereoCamera.create(500.0, 500.0, 320.0, 240.0, 0.5)
+
+
+def make_phong_problem(key, K=3, J=40, M=2, directional=False, noise=0.0):
+    ks = jax.random.split(key, 8)
+    xi = jnp.stack([jnp.array([0.0, 0.0, -0.3, 0.01, 0.03, 0.005]) * k for k in range(K)])
+    poses = lie.se3_exp(xi)
+    pts = jax.random.uniform(
+        ks[0], (J, 3), minval=jnp.array([-4.0, -3.0, 6.0]), maxval=jnp.array([4.0, 3.0, 14.0])
+    ).astype(jnp.float64)
+    # normals roughly facing the cameras (-z global-ish)
+    n = jax.random.normal(ks[1], (J, 3), dtype=jnp.float64) * 0.3 + jnp.array([0.0, 0.0, -1.0])
+    normals = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    mat_of_vertex = jax.random.randint(ks[2], (J,), 0, M)
+    phong_gt = jnp.tile(jnp.array([0.0, 0.25, 8.0]), (M, 1))
+    tex_gt = jnp.linspace(0.4, 0.8, M)
+    light_gt = (
+        jnp.array([0.3, -0.5, -0.8]) / jnp.linalg.norm(jnp.array([0.3, -0.5, -0.8]))
+        if directional
+        else jnp.array([-5.0, -5.0, -3.0])
+    )
+
+    pose_idx = jnp.repeat(jnp.arange(K), J)
+    vertex_idx = jnp.tile(jnp.arange(J), K)
+    material_idx = mat_of_vertex[vertex_idx]
+    N = K * J
+
+    T = poses[pose_idx]
+    p_c = lie.se3_transform_point(T, pts[vertex_idx])
+    uvd = CAM.project(p_c)
+    n_c = lie.se3_transform_vector(T, normals[vertex_idx])
+    # shade in the camera frame exactly as the factor predicts
+    if directional:
+        l_c = lie.se3_transform_vector(T, jnp.broadcast_to(light_gt, (N, 3)))
+        I = lighting.directional_light_shade(
+            p_c, n_c, phong_gt[material_idx], tex_gt[material_idx], l_c, jnp.zeros(3)
+        )
+    else:
+        l_c = lie.se3_transform_point(T, jnp.broadcast_to(light_gt, (N, 3)))
+        I = lighting.point_light_shade(
+            p_c, n_c, phong_gt[material_idx], tex_gt[material_idx], l_c, jnp.zeros(3)
+        )
+
+    if noise > 0:
+        kk = jax.random.split(ks[3], 3)
+        uvd = uvd + noise * jax.random.normal(kk[0], uvd.shape, dtype=jnp.float64)
+        I = I + 0.01 * jax.random.normal(kk[1], I.shape, dtype=jnp.float64)
+        n_c = n_c + 0.01 * jax.random.normal(kk[2], n_c.shape, dtype=jnp.float64)
+
+    obs = phong.PhongObs(
+        uvd=uvd,
+        int_obs=I,
+        normal_obs=n_c,
+        pose_idx=pose_idx.astype(jnp.int32),
+        vertex_idx=vertex_idx.astype(jnp.int32),
+        material_idx=material_idx.astype(jnp.int32),
+        valid=jnp.ones(N, bool),
+    )
+    problem = phong.PhongBAProblem(
+        camera=CAM,
+        obs=obs,
+        stereo_stiffness=jnp.eye(3) / 0.5,
+        normal_stiffness=jnp.eye(3) / 0.1,
+        int_stiffness=jnp.asarray(1.0 / 0.1),
+        fixed_pose_mask=jnp.zeros(K, bool).at[0].set(True),
+        vertex_valid=jnp.ones(J, bool),
+    )
+    gt = phong.PhongState(poses, pts, normals, phong_gt, tex_gt, light_gt)
+    return problem, gt
+
+
+def perturb(gt, key, directional):
+    ks = jax.random.split(key, 6)
+    K = gt.poses.shape[0]
+    dp = 0.02 * jax.random.normal(ks[0], (K, 6), dtype=jnp.float64)
+    dp = dp.at[0].set(0.0)
+    n = gt.normals + 0.1 * jax.random.normal(ks[2], gt.normals.shape, dtype=jnp.float64)
+    light = gt.light + (0.1 if directional else 1.0) * jax.random.normal(
+        ks[3], (3,), dtype=jnp.float64
+    )
+    if directional:
+        light = light / jnp.linalg.norm(light)
+    return phong.PhongState(
+        poses=lie.se3_retract(gt.poses, dp),
+        points=gt.points + 0.1 * jax.random.normal(ks[1], gt.points.shape, dtype=jnp.float64),
+        normals=n / jnp.linalg.norm(n, axis=-1, keepdims=True),
+        phong=jnp.tile(jnp.array([0.0, 0.0, 1.0]), (gt.phong.shape[0], 1)),
+        textures=jnp.full(gt.textures.shape, 0.5),
+        light=light,
+    )
+
+
+@pytest.mark.parametrize("directional", [False, True])
+def test_phong_ba_recovers_scene(directional):
+    problem, gt = make_phong_problem(
+        jax.random.PRNGKey(0), directional=directional, noise=0.0
+    )
+    init = perturb(gt, jax.random.PRNGKey(1), directional)
+    sol, summary = phong.solve_phong_ba(
+        problem, init, lm.SolveConfig(max_iters=100), use_light=True,
+        directional=directional,
+    )
+    c0 = float(phong.phong_cost(problem, init, True, directional))
+    assert float(summary.final_cost) < 1e-3 * c0
+    # geometry recovered
+    assert float(jnp.max(jnp.abs(sol.points - gt.points))) < 0.02
+    # texture (diffuse albedo) recovered per material
+    assert float(jnp.max(jnp.abs(sol.textures - gt.textures))) < 0.05
+    # normals recovered (up to small angle)
+    dots = jnp.sum(sol.normals * gt.normals, axis=-1)
+    assert float(jnp.min(dots)) > 0.99
+    # bounds respected
+    assert float(jnp.min(sol.phong[:, :2])) >= 0.0
+    assert float(jnp.max(sol.phong[:, :2])) <= 1.0
+    assert float(jnp.min(sol.phong[:, 2])) >= 1.0
+    if directional:
+        assert np.isclose(float(jnp.linalg.norm(sol.light)), 1.0, atol=1e-12)
+
+
+def test_multistage_schedule_runs():
+    problem, gt = make_phong_problem(jax.random.PRNGKey(2), noise=0.3)
+    init = perturb(gt, jax.random.PRNGKey(3), False)
+    sol, summaries = phong.solve_phong_staged(
+        problem, init, lm.SolveConfig(max_iters=40), use_light=True,
+        directional=False, multistage=True,
+    )
+    assert len(summaries) == 3
+    # each stage must not increase the final joint cost
+    cj = float(phong.phong_cost(problem, sol, True, False))
+    ci = float(phong.phong_cost(problem, init, True, False))
+    assert cj < ci
+
+
+def test_geometry_only_matches_stereo_ba():
+    # With use_light=False the Phong problem reduces to plain stereo BA:
+    # lighting states must not move.
+    problem, gt = make_phong_problem(jax.random.PRNGKey(4), noise=0.2)
+    init = perturb(gt, jax.random.PRNGKey(5), False)
+    sol, _ = phong.solve_phong_ba(
+        problem, init, lm.SolveConfig(max_iters=40), use_light=False,
+        directional=False,
+    )
+    assert np.allclose(sol.normals, init.normals)
+    assert np.allclose(sol.textures, init.textures)
+    assert np.allclose(sol.light, init.light)
+    assert not np.allclose(sol.points, init.points)
+
+
+def test_phong_dataset_pipeline(tmp_path):
+    """Full dataset_ba_phong pipeline: sim -> reference CSV -> read ->
+    initial guess (median-intensity textures, normal transport) -> staged
+    solve -> emitted outputs."""
+    from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
+    from ceres_slam_tpu.utils import metrics, sim
+
+    ds = sim.generate_phong(num_states=10, num_points=120, seed=7)
+    track = str(tmp_path / "phong.csv")
+    sim.write_phong_track_csv(ds, track)
+    prob = DatasetProblemPhong.read_csv(track)
+    assert prob.num_states == ds.num_states
+    summaries = prob.solve_full(use_light=True, multistage=True)
+    assert all(np.isfinite(float(s.final_cost)) for s in summaries)
+    ate = metrics.ate_translation(prob.poses, ds.poses_gt)
+    assert ate < 0.3, f"Phong BA ATE {ate}"
+    assert np.max(np.abs(prob.textures - ds.textures_gt)) < 0.05
+    prob.write_csv(track)
+    import os
+    for suffix in ("_poses.csv", "_map.csv", "_lights.csv"):
+        assert os.path.exists(str(tmp_path / f"phong{suffix}"))
