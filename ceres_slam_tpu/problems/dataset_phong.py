@@ -162,6 +162,10 @@ class DatasetProblemPhong:
             idx_a, idx_b = idx_a[ia], idx_b[ib]
             M_ = idx_a.size
             if M_ < 3:
+                # Degenerate pair: carry the previous pose forward (the
+                # sun driver's failure fallback, tests/dataset_vo_sun.cpp:276-281)
+                # rather than leaving the default identity.
+                self.poses[k] = self.poses[k - 1]
                 continue
             P = self._match_pad
             pts0 = np.zeros((P, 3))

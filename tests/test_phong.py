@@ -166,7 +166,7 @@ def test_phong_dataset_pipeline(tmp_path):
     from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
     from ceres_slam_tpu.utils import metrics, sim
 
-    ds = sim.generate_phong(num_states=10, num_points=120, seed=7)
+    ds = sim.generate_phong(num_states=12, num_points=200, seed=7)
     track = str(tmp_path / "phong.csv")
     sim.write_phong_track_csv(ds, track)
     prob = DatasetProblemPhong.read_csv(track)
