@@ -13,11 +13,17 @@ import numpy as np
 
 
 def read_numeric_csv(path: str) -> list:
-    """Parse a comma-separated numeric file into a list of float lists.
+    """Parse a comma-separated numeric file into a list of per-row float
+    sequences (numpy slices). Uses the native C++ loader
+    (ceres_slam_tpu/native/csv_loader.cpp) when available — KITTI-scale
+    tracks run to hundreds of thousands of rows — with a pure-Python
+    fallback. Skips blank lines."""
+    from ceres_slam_tpu import native
 
-    Skips blank lines. Raises on non-numeric tokens (the reference formats
-    are fully numeric; emitted files with headers are not re-read by the
-    pipeline)."""
+    out = native.load_numeric_csv_native(path)
+    if out is not None:
+        vals, offs = out
+        return [vals[offs[i] : offs[i + 1]] for i in range(offs.size - 1)]
     rows = []
     with open(path) as f:
         for line in f:

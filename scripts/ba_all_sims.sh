@@ -1,0 +1,33 @@
+#!/bin/bash
+# Port of /root/reference/scripts/ba_all_sims.sh: sim sequences
+# triangle200/square200/penta200 x ground-truth-sun noise levels
+# {0,10,20,30} deg, window 2 (reference :6-26).
+#
+# The reference assumes pre-made data files; this harness generates them
+# first (the repo ships no data) and evaluates ATE against ground truth.
+set -e
+cd "$(dirname "$0")/.."
+
+DATA_DIR=${DATA_DIR:-out/sims}
+WINDOW=${WINDOW:-2}
+NUM_STATES=${NUM_STATES:-200}
+
+for seq in triangle square penta; do
+    name="${seq}${NUM_STATES}"
+    if [ ! -f "$DATA_DIR/${name}.csv" ]; then
+        python -m ceres_slam_tpu.apps.make_sim "$DATA_DIR" --kind "$seq" \
+            --num-states "$NUM_STATES" --sun-noise 0 10 20 30
+    fi
+    for noise in 0 10 20 30; do
+        echo "=== $name gtsun$noise ==="
+        python -m ceres_slam_tpu.apps.dataset_vo_sun \
+            "$DATA_DIR/${name}.csv" \
+            "$DATA_DIR/${name}_sun_ref.csv" \
+            "$DATA_DIR/${name}_sun_dir_gtsun${noise}.csv" \
+            --window "$WINDOW"
+        python -m ceres_slam_tpu.apps.evaluate \
+            "$DATA_DIR/${name}_gtsun${noise}_poses.csv" \
+            "$DATA_DIR/${name}_gt_poses.csv" \
+            --label "$name gtsun$noise"
+    done
+done
