@@ -49,7 +49,7 @@ def lm_loop_fn():
         def body(_, carry):
             state, lam, cost = carry
             blocks = dense.ba_block_normal_equations(problem, state)
-            dx, g, Hdx = schur.schur_step(problem, blocks, lam)
+            dx, _, _ = schur.schur_step(problem, blocks, lam)
             new_state = dense._retract_state(problem, state, dx)
             new_cost = dense.ba_cost(problem, new_state)
             accept = jnp.isfinite(new_cost) & (new_cost < cost)

@@ -97,21 +97,8 @@ class BAState(NamedTuple):
     points: jnp.ndarray  # [J, 3]
 
 
-class SolveConfig(NamedTuple):
-    max_iters: int = 50
-    ftol: float = 1e-9  # relative cost-decrease tolerance (Ceres function_tolerance 1e-6)
-    gtol: float = 1e-12  # max-norm gradient tolerance
-    init_lambda: float = 1e-4
-    min_lambda: float = 1e-12
-    max_lambda: float = 1e10
-
-
-class SolveSummary(NamedTuple):
-    iterations: jnp.ndarray
-    initial_cost: jnp.ndarray
-    final_cost: jnp.ndarray
-    final_grad_norm: jnp.ndarray
-    final_lambda: jnp.ndarray
+# Solve configuration/summary shared with the generic LM core.
+from ceres_slam_tpu.solver.lm import SolveConfig, SolveSummary  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -390,15 +377,6 @@ def _retract_state(problem: StereoBAProblem, state: BAState, dx: jnp.ndarray) ->
 # ---------------------------------------------------------------------------
 
 
-class _LMCarry(NamedTuple):
-    state: BAState
-    lam: jnp.ndarray
-    cost: jnp.ndarray
-    grad_norm: jnp.ndarray
-    it: jnp.ndarray
-    done: jnp.ndarray
-
-
 def lm_minimize(
     problem: StereoBAProblem,
     state0: BAState,
@@ -407,68 +385,16 @@ def lm_minimize(
 ):
     """Levenberg-Marquardt core, parameterized over the normal-equations
     builder so the distributed path can substitute a shard_mapped one."""
-    cost0 = ba_cost(problem, state0)
-    dtype = state0.poses.dtype
+    from ceres_slam_tpu.solver import lm as lm_mod
 
-    def cond(c: _LMCarry):
-        return (~c.done) & (c.it < config.max_iters)
-
-    def body(c: _LMCarry):
-        H, g = normal_eq_fn(problem, c.state)
-        grad_norm = jnp.max(jnp.abs(g))
-
-        diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
-        A = H + c.lam * jnp.diag(diag)
-        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
-        dx = jax.scipy.linalg.cho_solve((L, low), -g)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-
-        new_state = _retract_state(problem, c.state, dx)
-        new_cost = ba_cost(problem, new_state)
-
-        pred_decrease = -(g @ dx + 0.5 * dx @ (H @ dx))
-        actual_decrease = c.cost - new_cost
-        rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
-
-        accept = jnp.isfinite(new_cost) & (actual_decrease > 0.0)
-
-        # Marquardt update (same shape as Ceres's LM strategy):
-        lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        lam_up = c.lam * 4.0
-        lam = jnp.where(accept, jnp.maximum(lam_down, config.min_lambda), jnp.minimum(lam_up, config.max_lambda))
-
-        state = jax.tree.map(
-            lambda new, old: jnp.where(accept, new, old), new_state, c.state
-        )
-        cost = jnp.where(accept, new_cost, c.cost)
-
-        small_decrease = accept & (
-            actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
-        )
-        small_grad = grad_norm <= config.gtol
-        small_step = jnp.max(jnp.abs(dx)) <= 1e-14
-        done = small_decrease | small_grad | small_step | (c.lam >= config.max_lambda)
-
-        return _LMCarry(state, lam, cost, grad_norm, c.it + 1, done)
-
-    init = _LMCarry(
-        state=state0,
-        lam=jnp.asarray(config.init_lambda, dtype),
-        cost=cost0,
-        grad_norm=jnp.asarray(jnp.inf, dtype),
-        it=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
+    step = lm_mod.dense_cholesky_step(lambda s: normal_eq_fn(problem, s))
+    return lm_mod.lm_solve(
+        state0,
+        config,
+        lambda s: ba_cost(problem, s),
+        step,
+        lambda s, dx: _retract_state(problem, s, dx),
     )
-    out = jax.lax.while_loop(cond, body, init)
-
-    summary = SolveSummary(
-        iterations=out.it,
-        initial_cost=cost0,
-        final_cost=out.cost,
-        final_grad_norm=out.grad_norm,
-        final_lambda=out.lam,
-    )
-    return out.state, summary
 
 
 @partial(jax.jit, static_argnames=("config",))

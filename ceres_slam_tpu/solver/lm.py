@@ -45,12 +45,13 @@ def lm_solve(
     state0,
     config: SolveConfig,
     cost_fn: Callable,  # state -> scalar cost
-    step_fn: Callable,  # (state, lam) -> (dx, g, Hdx)
+    step_fn: Callable,  # (state, lam) -> (dx, grad_norm, pred_decrease)
     retract_fn: Callable,  # (state, dx) -> state
 ):
     """Run LM. `step_fn` solves the damped system and returns the step dx,
-    the gradient g, and the undamped Hessian-vector product H dx (for the
-    predicted-decrease ratio)."""
+    the max-norm of the gradient, and the scalar predicted cost decrease
+    ``-(g . dx + 0.5 dx . H dx)`` of the undamped model (computing the
+    scalar directly is much cheaper than materializing H dx)."""
     cost0 = cost_fn(state0)
     dtype = cost0.dtype
 
@@ -58,14 +59,12 @@ def lm_solve(
         return (~c.done) & (c.it < config.max_iters)
 
     def body(c: _Carry):
-        dx, g, Hdx = step_fn(c.state, c.lam)
-        grad_norm = jnp.max(jnp.abs(g))
+        dx, grad_norm, pred_decrease = step_fn(c.state, c.lam)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
 
         new_state = retract_fn(c.state, dx)
         new_cost = cost_fn(new_state)
 
-        pred_decrease = -(g @ dx + 0.5 * dx @ Hdx)
         actual_decrease = c.cost - new_cost
         rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
 
@@ -119,6 +118,7 @@ def dense_cholesky_step(normal_eq_fn: Callable):
         A = H + lam * jnp.diag(diag)
         L, low = jax.scipy.linalg.cho_factor(A, lower=True)
         dx = jax.scipy.linalg.cho_solve((L, low), -g)
-        return dx, g, H @ dx
+        pred = -(g @ dx + 0.5 * dx @ (H @ dx))
+        return dx, jnp.max(jnp.abs(g)), pred
 
     return step

@@ -1,0 +1,245 @@
+"""Matrix-free Schur-complement PCG for large-scale bundle adjustment.
+
+The dense-W Schur solver (`ceres_slam_tpu/solver/schur.py`) materializes a
+``[K, J, 6, 3]`` coupling tensor — fine for windows and medium batches,
+quadratic-memory death for KITTI-scale full-batch BA (K ~ 10^3 poses,
+J ~ 10^5 landmarks). This module never forms W: because each landmark is
+observed at most once per frame in these datasets, the per-(pose,landmark)
+coupling block IS the per-observation outer product
+``U_n = J_pose(n)^T J_pt(n)``, and every product with the reduced camera
+matrix
+
+    S v = (B + lam D_B) v - U C^{-1} U^T v
+
+is three observation-batched contractions plus segment-sums into the SMALL
+[K] / [J] index spaces (gather pose entries of v, per-obs 6x3 matmuls,
+scatter back) — exactly the memory-light structure that also distributes
+with a psum over observation shards (SURVEY.md §5.7: per-shard Schur
+contributions combined with collectives).
+
+Solved with preconditioned conjugate gradients using the exact block-
+Jacobi (block-diagonal of S) preconditioner: S_kk = B_k - sum_{n in k}
+U_n C_j(n)^{-1} U_n^T, which is computable per-observation because cross
+terms of distinct observations never hit the same (k,k) diagonal block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ceres_slam_tpu.ops import factors, lie
+from ceres_slam_tpu.solver import dense, lm
+from ceres_slam_tpu.solver.schur import _inv3x3
+
+
+class ObsBlocks(NamedTuple):
+    """Per-observation Gauss-Newton quantities + small diagonal systems."""
+
+    U: jnp.ndarray  # [N, 6, 3] per-obs pose-landmark coupling
+    Hpp: jnp.ndarray  # [K, 6, 6] damped pose diagonal (masked)
+    Cinv: jnp.ndarray  # [J, 3, 3] damped, inverted landmark diagonal
+    gp: jnp.ndarray  # [K, 6]
+    gl: jnp.ndarray  # [J, 3]
+    Hll: jnp.ndarray  # [J, 3, 3] undamped (for predicted decrease)
+    Hpp_undamped: jnp.ndarray  # [K, 6, 6]
+    pose_idx: jnp.ndarray  # [N]
+    point_idx: jnp.ndarray  # [N]
+
+
+def build_obs_blocks(
+    problem: dense.StereoBAProblem, state: dense.BAState, lam: jnp.ndarray
+) -> ObsBlocks:
+    p = problem
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    dtype = state.poses.dtype
+    st = p.stereo
+
+    r, J_pose, J_pt = factors.stereo_reprojection(
+        p.camera, state.poses[st.pose_idx], state.points[st.point_idx], st.uvd, st.stiffness
+    )
+    valid = (st.valid & p.point_valid[st.point_idx]).astype(dtype)
+    r = r * valid[:, None]
+    J_pose = J_pose * valid[:, None, None]
+    J_pt = J_pt * valid[:, None, None]
+
+    seg = jax.ops.segment_sum
+    Hpp = seg(jnp.einsum("nri,nrj->nij", J_pose, J_pose), st.pose_idx, num_segments=K)
+    Hll = seg(jnp.einsum("nri,nrj->nij", J_pt, J_pt), st.point_idx, num_segments=J)
+    U = jnp.einsum("nri,nrj->nij", J_pose, J_pt)
+    gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), st.pose_idx, num_segments=K)
+    gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), st.point_idx, num_segments=J)
+
+    # sun + prior touch only pose blocks
+    Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
+    Hpp = Hpp + Hpp_aux
+    gp = gp + gp_aux
+
+    # gauge/validity masks at block level
+    free_pose = (~p.fixed_pose_mask).astype(dtype)
+    free_pt = p.point_valid.astype(dtype)
+    Hpp = Hpp * free_pose[:, None, None]
+    gp = gp * free_pose[:, None]
+    Hll = Hll * free_pt[:, None, None]
+    gl = gl * free_pt[:, None]
+    U = U * free_pose[st.pose_idx, None, None] * free_pt[st.point_idx, None, None]
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    dpp = jnp.einsum("kaa->ka", Hpp)
+    Hpp = Hpp + eye6 * jnp.all(dpp == 0.0, axis=-1)[:, None, None].astype(dtype)
+    dll = jnp.einsum("jaa->ja", Hll)
+    Hll_pinned = Hll + eye3 * jnp.all(dll == 0.0, axis=-1)[:, None, None].astype(dtype)
+
+    Hpp_d = Hpp + lam * jnp.einsum(
+        "ka,ab->kab", jnp.clip(jnp.einsum("kaa->ka", Hpp), 1e-12, 1e32), eye6
+    )
+    C_d = Hll_pinned + lam * jnp.einsum(
+        "ja,ab->jab", jnp.clip(jnp.einsum("jaa->ja", Hll_pinned), 1e-12, 1e32), eye3
+    )
+    return ObsBlocks(
+        U=U,
+        Hpp=Hpp_d,
+        Cinv=_inv3x3(C_d),
+        gp=gp,
+        gl=gl,
+        Hll=Hll_pinned,
+        Hpp_undamped=Hpp,
+        pose_idx=st.pose_idx,
+        point_idx=st.point_idx,
+    )
+
+
+def schur_matvec(b: ObsBlocks, v: jnp.ndarray) -> jnp.ndarray:
+    """``S v`` for v [K, 6], matrix-free over observations."""
+    K = b.Hpp.shape[0]
+    J = b.Cinv.shape[0]
+    # U^T v: gather v at each obs's pose, contract, reduce per landmark.
+    Utv = jax.ops.segment_sum(
+        jnp.einsum("nij,ni->nj", b.U, v[b.pose_idx]), b.point_idx, num_segments=J
+    )  # [J, 3]
+    y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)  # [J, 3]
+    # U y: gather y at each obs's landmark, reduce per pose.
+    Uy = jax.ops.segment_sum(
+        jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]), b.pose_idx, num_segments=K
+    )  # [K, 6]
+    return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
+
+
+def schur_diag_blocks(b: ObsBlocks) -> jnp.ndarray:
+    """Exact diagonal blocks ``S_kk`` for the block-Jacobi preconditioner."""
+    K = b.Hpp.shape[0]
+    UCU = jax.ops.segment_sum(
+        jnp.einsum("nij,njk,nlk->nil", b.U, b.Cinv[b.point_idx], b.U),
+        b.pose_idx,
+        num_segments=K,
+    )
+    return b.Hpp - UCU
+
+
+def _block_precond(S_diag: jnp.ndarray):
+    """Cholesky-based inverse application of the [K,6,6] diagonal blocks."""
+    chol = jnp.linalg.cholesky(S_diag)
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:  # [K, 6]
+        y = jax.scipy.linalg.solve_triangular(chol, r[..., None], lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), y, lower=False
+        )[..., 0]
+
+    return apply
+
+
+def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+    precond = _block_precond(schur_diag_blocks(b))
+
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    x0 = jnp.zeros_like(rhs)
+    rz0 = jnp.sum(r0 * z0)
+    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+
+    def cond(carry):
+        x, r, z, pv, rz, i = carry
+        return (i < max_iters) & (jnp.sqrt(jnp.sum(r * r)) > tol * rhs_norm)
+
+    def body(carry):
+        x, r, z, pv, rz, i = carry
+        Sp = schur_matvec(b, pv)
+        denom = jnp.sum(pv * Sp)
+        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
+        x = x + alpha * pv
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        pv = z + beta * pv
+        return (x, r, z, pv, rz_new, i + 1)
+
+    x, r, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x, iters
+
+
+def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6):
+    """One damped LM linear solve via Schur + PCG; returns
+    (dx, grad_norm, pred_decrease) for the shared LM core."""
+    b = build_obs_blocks(problem, state, lam)
+    K = b.Hpp.shape[0]
+    J = b.Cinv.shape[0]
+
+    # rhs = -(gp - U C^{-1} gl)
+    y = jnp.einsum("jab,jb->ja", b.Cinv, b.gl)
+    Uy = jax.ops.segment_sum(
+        jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]), b.pose_idx, num_segments=K
+    )
+    rhs = -(b.gp - Uy)
+
+    dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol)
+
+    # back-substitute landmarks: dl = -C^{-1}(gl + U^T dp)
+    Utdp = jax.ops.segment_sum(
+        jnp.einsum("nij,ni->nj", b.U, dp[b.pose_idx]), b.point_idx, num_segments=J
+    )
+    dl = -jnp.einsum("jab,jb->ja", b.Cinv, b.gl + Utdp)
+
+    dx = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
+    grad_norm = jnp.maximum(jnp.max(jnp.abs(b.gp)), jnp.max(jnp.abs(b.gl)))
+    # predicted decrease with the undamped blocks
+    Udl = jax.ops.segment_sum(
+        jnp.einsum("nij,nj->ni", b.U, dl[b.point_idx]), b.pose_idx, num_segments=K
+    )
+    g_dot_dx = jnp.sum(b.gp * dp) + jnp.sum(b.gl * dl)
+    dxHdx = (
+        jnp.einsum("ka,kab,kb->", dp, b.Hpp_undamped, dp)
+        + 2.0 * jnp.sum(dp * Udl)
+        + jnp.einsum("ja,jab,jb->", dl, b.Hll, dl)
+    )
+    pred = -(g_dot_dx + 0.5 * dxHdx)
+    return dx, grad_norm, pred
+
+
+@partial(jax.jit, static_argnames=("config", "max_cg_iters"))
+def solve_ba_pcg(
+    problem: dense.StereoBAProblem,
+    state0: dense.BAState,
+    config: lm.SolveConfig = lm.SolveConfig(),
+    max_cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+):
+    """LM with the matrix-free Schur-PCG linear solver — the scalable path
+    for full-batch BA (replaces Ceres ITERATIVE_SCHUR + SuiteSparse)."""
+    return lm.lm_solve(
+        state0,
+        config,
+        lambda s: dense.ba_cost(problem, s),
+        lambda s, lam: pcg_step(problem, s, lam, max_cg_iters, cg_tol),
+        lambda s, dx: dense._retract_state(problem, s, dx),
+    )

@@ -93,11 +93,11 @@ def _step(problem: PhotometricProblem, state: PhotometricState, lam):
     dd = jnp.clip(dd, -2.0, 2.0)
 
     dx = jnp.concatenate([dp, dd])
-    g = jnp.concatenate([gp, gd])
-    Hdx = jnp.concatenate(
-        [Hpp @ dp + jnp.einsum("ni,n->i", w, dd), w @ dp + c * dd]
-    )
-    return dx, g, Hdx
+    grad_norm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gd)))
+    g_dot_dx = gp @ dp + gd @ dd
+    dxHdx = dp @ (Hpp @ dp) + 2.0 * (dd @ (w @ dp)) + jnp.sum(c * dd * dd)
+    pred = -(g_dot_dx + 0.5 * dxHdx)
+    return dx, grad_norm, pred
 
 
 def _retract(state: PhotometricState, dx):

@@ -58,9 +58,9 @@ def schur_step(
 ):
     """Solve the damped system via landmark elimination.
 
-    Returns (dx [6K+3J], g [6K+3J], Hdx [6K+3J]) where g/Hdx are the
-    masked gradient and Hessian-vector product needed for the LM
-    predicted-decrease test (all in the same layout as the dense solver).
+    Returns ``(dx [6K+3J], grad_norm, pred_decrease)`` — the scalar
+    predicted decrease of the undamped model is computed blockwise
+    (``dx.g + 0.5 dx.H dx``) without materializing H dx.
     """
     K, J = blocks.Hpp.shape[0], blocks.Hll.shape[0]
     dtype = blocks.Hpp.dtype
@@ -110,24 +110,19 @@ def schur_step(
     dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp)
 
     dx = jnp.concatenate([dp, dl.reshape(-1)])
-    g = jnp.concatenate([gp.reshape(-1), gl.reshape(-1)])
-    # Hdx for the UNDAMPED system (predicted decrease uses H, not H+lam D).
+    grad_norm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
+    # Predicted decrease of the UNDAMPED model, blockwise:
+    # dx.H dx = dp.Hpp dp + 2 dp.W dl + dl.Hll dl
     dp_r = dp.reshape(K, 6)
-    Hdx_p = (
-        jnp.einsum("kab,kb->ka", Hpp, dp_r) + (Wf @ dl.reshape(-1)).reshape(K, 6)
+    dl_f = dl.reshape(-1)
+    g_dot_dx = jnp.sum(gp * dp_r) + jnp.sum(gl * dl)
+    dxHdx = (
+        jnp.einsum("ka,kab,kb->", dp_r, Hpp, dp_r)
+        + 2.0 * (dp @ (Wf @ dl_f))
+        + jnp.einsum("ja,jab,jb->", dl, Hll, dl)
     )
-    Hdx_l = Wt_dp * 0.0 + (Wf.T @ dp).reshape(J, 3) + jnp.einsum("jab,jb->ja", Hll, dl)
-    dx_Hdx = jnp.concatenate([Hdx_p.reshape(-1), Hdx_l.reshape(-1)])
-    return dx, g, dx_Hdx
-
-
-class _LMCarry(NamedTuple):
-    state: dense.BAState
-    lam: jnp.ndarray
-    cost: jnp.ndarray
-    grad_norm: jnp.ndarray
-    it: jnp.ndarray
-    done: jnp.ndarray
+    pred = -(g_dot_dx + 0.5 * dxHdx)
+    return dx, grad_norm, pred
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -138,62 +133,16 @@ def solve_ba_schur(
 ):
     """LM with the Schur-complement linear solver (drop-in replacement for
     `dense.solve_ba`; exact same minimum, much faster for J >> K)."""
-    cost0 = dense.ba_cost(problem, state0)
-    dtype = state0.poses.dtype
+    from ceres_slam_tpu.solver import lm as lm_mod
 
-    def cond(c: _LMCarry):
-        return (~c.done) & (c.it < config.max_iters)
+    def step(state, lam):
+        blocks = dense.ba_block_normal_equations(problem, state)
+        return schur_step(problem, blocks, lam)
 
-    def body(c: _LMCarry):
-        blocks = dense.ba_block_normal_equations(problem, c.state)
-        dx, g, Hdx = schur_step(problem, blocks, c.lam)
-        grad_norm = jnp.max(jnp.abs(g))
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-
-        new_state = dense._retract_state(problem, c.state, dx)
-        new_cost = dense.ba_cost(problem, new_state)
-
-        pred_decrease = -(g @ dx + 0.5 * dx @ Hdx)
-        actual_decrease = c.cost - new_cost
-        rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
-
-        accept = jnp.isfinite(new_cost) & (actual_decrease > 0.0)
-        lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        lam_up = c.lam * 4.0
-        lam = jnp.where(
-            accept,
-            jnp.maximum(lam_down, config.min_lambda),
-            jnp.minimum(lam_up, config.max_lambda),
-        )
-        state = jax.tree.map(
-            lambda new, old: jnp.where(accept, new, old), new_state, c.state
-        )
-        cost = jnp.where(accept, new_cost, c.cost)
-        small_decrease = accept & (
-            actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
-        )
-        done = (
-            small_decrease
-            | (grad_norm <= config.gtol)
-            | (jnp.max(jnp.abs(dx)) <= 1e-14)
-            | (c.lam >= config.max_lambda)
-        )
-        return _LMCarry(state, lam, cost, grad_norm, c.it + 1, done)
-
-    init = _LMCarry(
-        state=state0,
-        lam=jnp.asarray(config.init_lambda, dtype),
-        cost=cost0,
-        grad_norm=jnp.asarray(jnp.inf, dtype),
-        it=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
+    return lm_mod.lm_solve(
+        state0,
+        config,
+        lambda s: dense.ba_cost(problem, s),
+        step,
+        lambda s, dx: dense._retract_state(problem, s, dx),
     )
-    out = jax.lax.while_loop(cond, body, init)
-    summary = dense.SolveSummary(
-        iterations=out.it,
-        initial_cost=cost0,
-        final_cost=out.cost,
-        final_grad_norm=out.grad_norm,
-        final_lambda=out.lam,
-    )
-    return out.state, summary

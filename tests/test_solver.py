@@ -194,10 +194,11 @@ class TestSchur:
         dx_ref = jsl.cho_solve((L, low), -g)
 
         blocks = dense.ba_block_normal_equations(problem, init)
-        dx, g_s, Hdx = schur.schur_step(problem, blocks, lam)
+        dx, grad_norm, pred = schur.schur_step(problem, blocks, lam)
         assert np.allclose(dx, dx_ref, atol=1e-8)
-        assert np.allclose(g_s, g, atol=1e-10)
-        assert np.allclose(Hdx, H @ dx, atol=1e-8)
+        assert np.allclose(float(grad_norm), float(jnp.max(jnp.abs(g))), atol=1e-10)
+        pred_ref = -(g @ dx_ref + 0.5 * dx_ref @ (H @ dx_ref))
+        assert np.allclose(float(pred), float(pred_ref), rtol=1e-8)
 
     def test_schur_lm_converges_like_dense(self):
         from ceres_slam_tpu.solver import schur
@@ -217,3 +218,34 @@ class TestSchur:
         sol_d, sum_d = dense.solve_ba(problem, init)
         sol_s, sum_s = schur.solve_ba_schur(problem, init)
         assert np.allclose(float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-5)
+
+
+class TestPCG:
+    def test_pcg_step_matches_dense_solve(self):
+        import jax.scipy.linalg as jsl
+
+        from ceres_slam_tpu.solver import pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(12), K=4, J=60, noise_px=0.4)
+        init = perturb(gt, key)
+        lam = jnp.asarray(1e-3)
+
+        H, g = dense.ba_normal_equations(problem, init)
+        diag = jnp.clip(jnp.diagonal(H), 1e-12, 1e32)
+        L, low = jsl.cho_factor(H + lam * jnp.diag(diag), lower=True)
+        dx_ref = jsl.cho_solve((L, low), -g)
+
+        dx, grad_norm, pred = pcg.pcg_step(problem, init, lam, max_cg_iters=200, cg_tol=1e-12)
+        assert np.allclose(dx, dx_ref, atol=1e-7)
+        pred_ref = -(g @ dx_ref + 0.5 * dx_ref @ (H @ dx_ref))
+        assert np.allclose(float(pred), float(pred_ref), rtol=1e-6)
+
+    def test_pcg_lm_converges_like_dense(self):
+        from ceres_slam_tpu.solver import pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(13), noise_px=0.3, with_sun=True)
+        init = perturb(gt, key)
+        sol_d, sum_d = dense.solve_ba(problem, init)
+        sol_p, sum_p = pcg.solve_ba_pcg(problem, init)
+        assert np.allclose(float(sum_p.final_cost), float(sum_d.final_cost), rtol=1e-5)
+        assert np.allclose(sol_p.poses, sol_d.poses, atol=1e-5)
