@@ -25,11 +25,21 @@ class SolveConfig(NamedTuple):
 
 
 class SolveSummary(NamedTuple):
+    """Solver report — the replacement for ceres::Solver::Summary
+    (BriefReport is the only perf signal the reference emits,
+    tests/dataset_vo_sun.cpp:152). When history recording is enabled the
+    per-iteration cost/lambda/gradient trajectories are included
+    (entries beyond `iterations` are NaN)."""
+
     iterations: jnp.ndarray
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     final_grad_norm: jnp.ndarray
     final_lambda: jnp.ndarray
+    cost_history: jnp.ndarray | None = None  # [max_iters]
+    lambda_history: jnp.ndarray | None = None  # [max_iters]
+    grad_norm_history: jnp.ndarray | None = None  # [max_iters]
+    step_accepted: jnp.ndarray | None = None  # [max_iters] bool
 
 
 class _Carry(NamedTuple):
@@ -39,6 +49,7 @@ class _Carry(NamedTuple):
     grad_norm: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
+    history: tuple
 
 
 def lm_solve(
@@ -47,6 +58,7 @@ def lm_solve(
     cost_fn: Callable,  # state -> scalar cost
     step_fn: Callable,  # (state, lam) -> (dx, grad_norm, pred_decrease)
     retract_fn: Callable,  # (state, dx) -> state
+    record_history: bool = False,
 ):
     """Run LM. `step_fn` solves the damped system and returns the step dx,
     the max-norm of the gradient, and the scalar predicted cost decrease
@@ -89,8 +101,22 @@ def lm_solve(
             | (jnp.max(jnp.abs(dx)) <= 1e-14)
             | (c.lam >= config.max_lambda)
         )
-        return _Carry(state, lam, cost, grad_norm, c.it + 1, done)
+        history = c.history
+        if record_history:
+            ch, lh, gh, ah = history
+            history = (
+                ch.at[c.it].set(cost),
+                lh.at[c.it].set(lam),
+                gh.at[c.it].set(grad_norm),
+                ah.at[c.it].set(accept),
+            )
+        return _Carry(state, lam, cost, grad_norm, c.it + 1, done, history)
 
+    if record_history:
+        nan = jnp.full((config.max_iters,), jnp.nan, dtype)
+        history0 = (nan, nan, nan, jnp.zeros((config.max_iters,), bool))
+    else:
+        history0 = ()
     init = _Carry(
         state=state0,
         lam=jnp.asarray(config.init_lambda, dtype),
@@ -98,14 +124,20 @@ def lm_solve(
         grad_norm=jnp.asarray(jnp.inf, dtype),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        history=history0,
     )
     out = jax.lax.while_loop(cond, body, init)
+    hist = out.history if record_history else (None, None, None, None)
     return out.state, SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
         final_cost=out.cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.lam,
+        cost_history=hist[0],
+        lambda_history=hist[1],
+        grad_norm_history=hist[2],
+        step_accepted=hist[3],
     )
 
 
