@@ -17,6 +17,7 @@ so each pipeline compiles exactly once.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -402,18 +403,37 @@ class DatasetProblemSun(DatasetProblem):
         zen_err_thresh: float = 1000.0,
         config: dense.SolveConfig | None = None,
         progress: bool = False,
+        checkpoint: str | None = None,
+        checkpoint_every: int = 25,
     ):
         """One pass of the flagship pipeline (tests/dataset_vo_sun.cpp:265-312):
         per window — VO initial guess, window solve with a pose prior from
         the previous window's covariance, covariance extraction for the
         next window's prior; on RANSAC failure, copy pose and covariance
-        forward (:276-281)."""
+        forward (:276-281).
+
+        ``checkpoint`` enables periodic checkpoint-restart: the solver
+        state (poses, covariance chain, window index) is persisted every
+        ``checkpoint_every`` windows and the pass resumes from the last
+        checkpoint if one exists (a capability the reference lacks,
+        SURVEY.md §5.4)."""
+        from ceres_slam_tpu.utils import checkpoint as ckpt_mod
+
         config = config or dense.SolveConfig(max_iters=100)
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad = self._window_budget(window)
         summaries = []
-        for k1 in range(0, K - window + 1):
+        k_start = 0
+        if checkpoint:
+            restored = ckpt_mod.load(checkpoint)
+            if restored is not None:
+                k_start, arrays = restored
+                self.poses[:] = arrays["poses"]
+                self.pose_covars[:] = arrays["pose_covars"]
+                if progress:
+                    print(f"  resumed from checkpoint at window {k_start}")
+        for k1 in range(k_start, K - window + 1):
             k2 = min(k1 + window, K)
             if self.compute_initial_guess(k1, k2):
                 problem, state, slots = self.build_window_problem(
@@ -444,6 +464,14 @@ class DatasetProblemSun(DatasetProblem):
                 self.poses[k2 - 1] = self.poses[k1]
                 self.pose_covars[k2 - 1] = self.pose_covars[k1]
             self.reset_points()
+            if checkpoint and ((k1 + 1) % checkpoint_every == 0):
+                ckpt_mod.save(
+                    checkpoint,
+                    k1 + 1,
+                    {"poses": self.poses, "pose_covars": self.pose_covars},
+                )
             if progress and (k1 % 50 == 0):
                 print(f"  window [{k1},{k2}) done")
+        if checkpoint and os.path.exists(checkpoint):
+            os.unlink(checkpoint)  # pass completed; clear stale state
         return summaries

@@ -397,17 +397,30 @@ def lm_minimize(
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "strategy"))
 def solve_ba(
-    problem: StereoBAProblem, state0: BAState, config: SolveConfig = SolveConfig()
+    problem: StereoBAProblem,
+    state0: BAState,
+    config: SolveConfig = SolveConfig(),
+    strategy: str = "lm",
 ):
-    """Minimize the BA cost with Levenberg-Marquardt.
+    """Minimize the BA cost with a trust-region method.
 
-    Replaces `ceres::Solve` for this problem family. The loop body:
-    assemble -> damped Cholesky solve -> retract -> rho-gated accept, with
-    Marquardt lambda adaptation. Runs entirely on device via
-    `lax.while_loop` (no data-dependent Python control flow).
+    Replaces `ceres::Solve` for this problem family. ``strategy`` selects
+    Levenberg-Marquardt (default) or Powell dogleg (the reference's
+    flagship setting, ceres::DOGLEG at tests/dataset_vo_sun.cpp:142-143);
+    both run entirely on device via `lax.while_loop`.
     """
+    if strategy == "dogleg":
+        from ceres_slam_tpu.solver import lm as lm_mod
+
+        return lm_mod.dogleg_solve(
+            state0,
+            config,
+            lambda s: ba_cost(problem, s),
+            lambda s: ba_normal_equations(problem, s),
+            lambda s, dx: _retract_state(problem, s, dx),
+        )
     return lm_minimize(problem, state0, config)
 
 

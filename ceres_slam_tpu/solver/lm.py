@@ -141,6 +141,117 @@ def lm_solve(
     )
 
 
+def dogleg_solve(
+    state0,
+    config: SolveConfig,
+    cost_fn: Callable,  # state -> scalar cost
+    normal_eq_fn: Callable,  # state -> (H, g) dense
+    retract_fn: Callable,  # (state, dx) -> state
+    init_radius: float = 1e4,
+):
+    """Classic (Powell) dogleg trust-region minimizer over a dense system.
+
+    Counterpart of the reference's ceres::DOGLEG strategy
+    (tests/dataset_vo_sun.cpp:142-143): blend the steepest-descent Cauchy
+    step and the Gauss-Newton step within a trust radius, growing/shrinking
+    the radius by the gain ratio. Converges to the same optima as LM; kept
+    for parity and for problems where LM damping stalls.
+    """
+    cost0 = cost_fn(state0)
+    dtype = cost0.dtype
+
+    class Carry(NamedTuple):
+        state: object
+        radius: jnp.ndarray
+        cost: jnp.ndarray
+        grad_norm: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    def cond(c):
+        return (~c.done) & (c.it < config.max_iters)
+
+    def body(c):
+        H, g = normal_eq_fn(c.state)
+        grad_norm = jnp.max(jnp.abs(g))
+        # Gauss-Newton step (tiny Tikhonov for safety)
+        A = H + 1e-10 * jnp.eye(H.shape[0], dtype=dtype)
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        dx_gn = jax.scipy.linalg.cho_solve((L, low), -g)
+        dx_gn = jnp.where(jnp.all(jnp.isfinite(dx_gn)), dx_gn, -g)
+        # Cauchy (steepest descent to the model minimum along -g)
+        gHg = g @ (H @ g)
+        alpha = (g @ g) / jnp.maximum(gHg, 1e-30)
+        dx_sd = -alpha * g
+
+        n_gn = jnp.linalg.norm(dx_gn)
+        n_sd = jnp.linalg.norm(dx_sd)
+
+        # dogleg blend
+        def blend():
+            d = dx_gn - dx_sd
+            a = d @ d
+            b = 2.0 * (dx_sd @ d)
+            cc = dx_sd @ dx_sd - c.radius**2
+            disc = jnp.sqrt(jnp.maximum(b * b - 4 * a * cc, 0.0))
+            beta = (-b + disc) / jnp.maximum(2 * a, 1e-30)
+            return dx_sd + jnp.clip(beta, 0.0, 1.0) * d
+
+        dx = jnp.where(
+            n_gn <= c.radius,
+            dx_gn,
+            jnp.where(
+                n_sd >= c.radius,
+                dx_sd * (c.radius / jnp.maximum(n_sd, 1e-30)),
+                blend(),
+            ),
+        )
+
+        new_state = retract_fn(c.state, dx)
+        new_cost = cost_fn(new_state)
+        pred = -(g @ dx + 0.5 * dx @ (H @ dx))
+        actual = c.cost - new_cost
+        rho = actual / jnp.maximum(pred, 1e-30)
+
+        accept = jnp.isfinite(new_cost) & (actual > 0.0)
+        radius = jnp.where(
+            rho > 0.75,
+            jnp.maximum(c.radius, 3.0 * jnp.linalg.norm(dx)),
+            jnp.where(rho < 0.25, c.radius * 0.5, c.radius),
+        )
+        radius = jnp.where(accept, radius, c.radius * 0.25)
+        radius = jnp.clip(radius, 1e-12, 1e12)
+
+        state = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), new_state, c.state
+        )
+        cost = jnp.where(accept, new_cost, c.cost)
+        small_decrease = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        done = (
+            small_decrease
+            | (grad_norm <= config.gtol)
+            | (radius <= 1e-11)
+        )
+        return Carry(state, radius, cost, grad_norm, c.it + 1, done)
+
+    init = Carry(
+        state=state0,
+        radius=jnp.asarray(init_radius, dtype),
+        cost=cost0,
+        grad_norm=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.state, SolveSummary(
+        iterations=out.it,
+        initial_cost=cost0,
+        final_cost=out.cost,
+        final_grad_norm=out.grad_norm,
+        final_lambda=out.radius,
+    )
+
+
 def dense_cholesky_step(normal_eq_fn: Callable):
     """Standard damped dense step: (H + lam diag(H)) dx = -g."""
 

@@ -249,3 +249,17 @@ class TestPCG:
         sol_p, sum_p = pcg.solve_ba_pcg(problem, init)
         assert np.allclose(float(sum_p.final_cost), float(sum_d.final_cost), rtol=1e-5)
         assert np.allclose(sol_p.poses, sol_d.poses, atol=1e-5)
+
+
+class TestDogleg:
+    def test_dogleg_converges_like_lm(self):
+        problem, gt, key = make_problem(jax.random.PRNGKey(15), noise_px=0.3)
+        init = perturb(gt, key)
+        sol_lm, sum_lm = dense.solve_ba(problem, init)
+        sol_dl, sum_dl = dense.solve_ba(
+            problem, init, dense.SolveConfig(max_iters=100), strategy="dogleg"
+        )
+        assert np.allclose(
+            float(sum_dl.final_cost), float(sum_lm.final_cost), rtol=1e-5
+        )
+        assert np.allclose(sol_dl.poses, sol_lm.poses, atol=1e-5)
