@@ -77,11 +77,16 @@ def shard_problem(problem: dense.StereoBAProblem, mesh: Mesh) -> dense.StereoBAP
     )
 
 
-def make_sharded_normal_eq(mesh: Mesh):
-    """Build a normal-equations function whose stereo contribution runs
-    shard_mapped over the observation axis with a psum reduction."""
+def make_sharded_blocks(mesh: Mesh):
+    """Block-system builder with the stereo contribution shard_mapped over
+    the observation axis and psum-reduced.
 
-    def normal_eq(problem: dense.StereoBAProblem, state: dense.BAState):
+    The reduction payload is the block-sparse system (Hpp [K,6,6],
+    Hll [J,3,3], W [K,J,6,3], g) — orders of magnitude smaller than
+    all-reducing the dense [D, D] Hessian, and the exact quantity both the
+    dense and Schur solvers consume."""
+
+    def blocks_fn(problem: dense.StereoBAProblem, state: dense.BAState):
         camera = problem.camera
         point_valid = problem.point_valid
 
@@ -92,17 +97,25 @@ def make_sharded_normal_eq(mesh: Mesh):
             out_specs=P(),
         )
         def stereo_part(stereo_shard, state_rep):
-            H, g = dense.stereo_normal_contrib(
+            blocks = dense.stereo_block_contrib(
                 camera, stereo_shard, point_valid, state_rep
             )
-            return (
-                jax.lax.psum(H, OBS_AXIS),
-                jax.lax.psum(g, OBS_AXIS),
-            )
+            return jax.tree.map(lambda x: jax.lax.psum(x, OBS_AXIS), blocks)
 
-        H, g = stereo_part(problem.stereo, state)
-        H2, g2 = dense.aux_normal_contrib(problem, state)
-        return dense.apply_gauge_mask(problem, H + H2, g + g2)
+        blocks = stereo_part(problem.stereo, state)
+        Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
+        return blocks._replace(Hpp=blocks.Hpp + Hpp_aux, gp=blocks.gp + gp_aux)
+
+    return blocks_fn
+
+
+def make_sharded_normal_eq(mesh: Mesh):
+    """Dense (H, g) built from the psum-reduced block system."""
+    blocks_fn = make_sharded_blocks(mesh)
+
+    def normal_eq(problem: dense.StereoBAProblem, state: dense.BAState):
+        H, g = dense.blocks_to_dense(blocks_fn(problem, state))
+        return dense.apply_gauge_mask(problem, H, g)
 
     return normal_eq
 
