@@ -54,3 +54,18 @@ class TestShardedNormalEquations:
         c0 = float(dense.ba_cost(problem, init))
         c1 = float(dense.ba_cost(problem, out))
         assert c1 < c0
+
+
+class TestShardedPCG:
+    def test_sharded_pcg_matches_dense(self, mesh):
+        from ceres_slam_tpu.parallel import sharded_pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(5), K=4, J=50, noise_px=0.4)
+        init = perturb(gt, key)
+        sol_ref, sum_ref = dense.solve_ba(problem, init, dense.SolveConfig(max_iters=25))
+        sol, summary = sharded_pcg.solve_ba_pcg_sharded(
+            problem, init, mesh, dense.SolveConfig(max_iters=25), max_cg_iters=200,
+            cg_tol=1e-10,
+        )
+        assert np.allclose(float(summary.final_cost), float(sum_ref.final_cost), rtol=1e-5)
+        assert np.allclose(sol.poses, sol_ref.poses, atol=1e-5)
