@@ -27,7 +27,7 @@ from ceres_slam_tpu.frontend import alignment
 from ceres_slam_tpu.models.stereo_camera import StereoCamera
 from ceres_slam_tpu.ops import factors, lie
 from ceres_slam_tpu.solver import dense
-from ceres_slam_tpu.utils import csvio
+from ceres_slam_tpu.utils import csvio, se3np
 
 
 def _round_up(n: int, m: int = 64) -> int:
@@ -178,19 +178,16 @@ class DatasetProblem:
                 ok_all = False
                 return False
             T_k_km1 = np.asarray(res.T_1_0)
-            # Compound onto the previous pose (dataset_problem.cpp:241)
-            self.poses[k] = np.asarray(
-                lie.se3_compose(jnp.asarray(T_k_km1), jnp.asarray(self.poses[k - 1]))
-            )
+            # Compound onto the previous pose (dataset_problem.cpp:241) —
+            # host numpy: per-window scalar math is latency-bound on device.
+            self.poses[k] = se3np.compose(T_k_km1, self.poses[k - 1])
             # Initialize inlier landmarks in the base frame (:245-255)
             inl = np.asarray(res.inliers)[:M]
             jj = self.point_ids[idx_a[inl]]
             new = ~self.initialized_point[jj]
             if np.any(new):
-                T_inv = lie.se3_inverse(jnp.asarray(self.poses[k - 1]))
-                p_g = np.asarray(
-                    lie.se3_transform_point(T_inv, jnp.asarray(self._pts_c[idx_a[inl]]))
-                )
+                T_inv = se3np.inverse(self.poses[k - 1])
+                p_g = se3np.transform_point(T_inv, self._pts_c[idx_a[inl]])
                 self.map_points[jj[new]] = p_g[new]
                 self.initialized_point[jj[new]] = True
         return ok_all
@@ -448,11 +445,11 @@ class DatasetProblemSun(DatasetProblem):
                     zen_err_thresh=zen_err_thresh,
                     gauge_fix_first=False,
                 )
-                sol, summary = dense.solve_ba(problem, state, config)
-                self.absorb_window_solution(k1, k2, sol, slots)
-                cov = np.asarray(
-                    dense.pose_tangent_covariance(problem, sol, jnp.asarray(1))
+                sol, summary, cov = dense.solve_ba_with_covariance(
+                    problem, state, jnp.asarray(1), config
                 )
+                self.absorb_window_solution(k1, k2, sol, slots)
+                cov = np.asarray(cov)
                 if np.all(np.isfinite(cov)):
                     self.pose_covars[k1 + 1] = cov
                 else:

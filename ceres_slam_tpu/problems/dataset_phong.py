@@ -20,7 +20,7 @@ from ceres_slam_tpu.models.stereo_camera import StereoCamera
 from ceres_slam_tpu.ops import lie
 from ceres_slam_tpu.solver import lm as lm_mod
 from ceres_slam_tpu.solver import phong as phong_mod
-from ceres_slam_tpu.utils import csvio
+from ceres_slam_tpu.utils import csvio, se3np
 
 
 @dataclasses.dataclass
@@ -183,22 +183,14 @@ class DatasetProblemPhong:
                 num_iters=self.ransac_iters,
                 thresh=self.ransac_thresh,
             )
-            self.poses[k] = np.asarray(
-                lie.se3_compose(jnp.asarray(res.T_1_0), jnp.asarray(self.poses[k - 1]))
-            )
+            self.poses[k] = se3np.compose(np.asarray(res.T_1_0), self.poses[k - 1])
             inl = np.asarray(res.inliers)[:M_]
             jj = self.vertex_ids[idx_a[inl]]
             new = ~self.initialized_vertex[jj]
             if np.any(new):
-                T_inv = lie.se3_inverse(jnp.asarray(self.poses[k - 1]))
-                p_g = np.asarray(
-                    lie.se3_transform_point(T_inv, jnp.asarray(self._pts_c[idx_a[inl]]))
-                )
-                n_g = np.asarray(
-                    lie.se3_transform_vector(
-                        T_inv, jnp.asarray(self.normal_obs_list[idx_a[inl]])
-                    )
-                )
+                T_inv = se3np.inverse(self.poses[k - 1])
+                p_g = se3np.transform_point(T_inv, self._pts_c[idx_a[inl]])
+                n_g = se3np.transform_vector(T_inv, self.normal_obs_list[idx_a[inl]])
                 self.vertex_positions[jj[new]] = p_g[new]
                 norms = np.linalg.norm(n_g[new], axis=-1, keepdims=True)
                 self.vertex_normals[jj[new]] = n_g[new] / np.maximum(norms, 1e-12)

@@ -424,6 +424,24 @@ def solve_ba(
     return lm_minimize(problem, state0, config)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def solve_ba_with_covariance(
+    problem: StereoBAProblem,
+    state0: BAState,
+    pose_idx: jnp.ndarray,
+    config: SolveConfig = SolveConfig(),
+):
+    """Fused window solve + tangent covariance extraction in ONE device
+    call (the sliding-window pipeline is latency-bound per window; fusing
+    halves the round trips)."""
+    sol, summary = lm_minimize(problem, state0, config)
+    H, _ = ba_normal_equations(problem, sol)
+    Hinv = jnp.linalg.inv(H)
+    base = 6 * pose_idx
+    cov = jax.lax.dynamic_slice(Hinv, (base, base), (6, 6))
+    return sol, summary, cov
+
+
 @jax.jit
 def pose_tangent_covariance(
     problem: StereoBAProblem, state: BAState, pose_idx: jnp.ndarray
