@@ -1,0 +1,1 @@
+from ceres_slam_tpu.solver.lm import SolveConfig, SolveSummary, lm_solve  # noqa: F401
