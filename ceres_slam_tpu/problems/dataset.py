@@ -142,38 +142,94 @@ class DatasetProblem:
 
     # -- VO initial guess (dataset_problem.cpp:179-270) -----------------------
 
+    def _pair_match(self, k: int):
+        """Reciprocal matches between states k-1 and k
+        (dataset_problem.cpp:199-225 via set intersection on point ids)."""
+        idx_a = self._state_obs[k - 1]
+        idx_b = self._state_obs[k]
+        _, ia, ib = np.intersect1d(
+            self.point_ids[idx_a], self.point_ids[idx_b], return_indices=True
+        )
+        return idx_a[ia], idx_b[ib]
+
+    def precompute_pair_alignments(self, chunk: int = 64):
+        """Batched RANSAC for ALL consecutive frame pairs at once.
+
+        The sliding-window loop re-runs the identical pair alignment every
+        window (reset_points wipes landmark init between windows); with a
+        high-latency device link this dominates wall time. One vmapped
+        RANSAC над all pairs (chunked) replaces K-1 sequential calls.
+        Results are bit-identical to the per-call path (same per-pair PRNG
+        keys)."""
+        K = self.num_states
+        P = self._match_pad
+        pts0 = np.zeros((K, P, 3))
+        pts1 = np.zeros((K, P, 3))
+        valid = np.zeros((K, P), bool)
+        counts = np.zeros(K, np.int64)
+        for k in range(1, K):
+            idx_a, idx_b = self._pair_match(k)
+            M = idx_a.size
+            counts[k] = M
+            pts0[k, :M] = self._pts_c[idx_a]
+            pts1[k, :M] = self._pts_c[idx_b]
+            valid[k, :M] = True
+
+        vmapped = jax.jit(
+            jax.vmap(
+                lambda a, b, v, key: alignment.ransac_align(
+                    self.camera, a, b, v, key,
+                    num_iters=self.ransac_iters, thresh=self.ransac_thresh,
+                )
+            )
+        )
+        keys = jax.vmap(jax.random.PRNGKey)(self.rng_seed + jnp.arange(K))
+        self._pair_T = np.zeros((K, 12))
+        self._pair_inliers = np.zeros((K, P), bool)
+        self._pair_num_inliers = np.zeros(K, np.int64)
+        for s in range(1, K, chunk):
+            e = min(s + chunk, K)
+            res = vmapped(
+                jnp.asarray(pts0[s:e]), jnp.asarray(pts1[s:e]),
+                jnp.asarray(valid[s:e]), keys[s:e],
+            )
+            self._pair_T[s:e] = np.asarray(res.T_1_0)
+            self._pair_inliers[s:e] = np.asarray(res.inliers)
+            self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)
+
     def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
         if k1 >= k2:
             k1, k2 = 0, self.num_states
-        ok_all = True
+        use_cache = getattr(self, "_pair_T", None) is not None
         for k in range(k1 + 1, k2):
-            idx_a = self._state_obs[k - 1]
-            idx_b = self._state_obs[k]
-            _, ia, ib = np.intersect1d(
-                self.point_ids[idx_a], self.point_ids[idx_b], return_indices=True
-            )
-            idx_a, idx_b = idx_a[ia], idx_b[ib]
+            idx_a, idx_b = self._pair_match(k)
             M = idx_a.size
             if M < 3:
                 return False
-            P = self._match_pad
-            pts0 = np.zeros((P, 3))
-            pts1 = np.zeros((P, 3))
-            pts0[:M] = self._pts_c[idx_a]
-            pts1[:M] = self._pts_c[idx_b]
-            valid = np.zeros(P, bool)
-            valid[:M] = True
-
-            res = alignment.ransac_align(
-                self.camera,
-                jnp.asarray(pts0),
-                jnp.asarray(pts1),
-                jnp.asarray(valid),
-                jax.random.PRNGKey(self.rng_seed + k),
-                num_iters=self.ransac_iters,
-                thresh=self.ransac_thresh,
-            )
-            n_inl = int(res.num_inliers)
+            if use_cache:
+                res_T = self._pair_T[k]
+                res_inliers = self._pair_inliers[k]
+                n_inl = int(self._pair_num_inliers[k])
+            else:
+                P = self._match_pad
+                pts0 = np.zeros((P, 3))
+                pts1 = np.zeros((P, 3))
+                pts0[:M] = self._pts_c[idx_a]
+                pts1[:M] = self._pts_c[idx_b]
+                valid = np.zeros(P, bool)
+                valid[:M] = True
+                res = alignment.ransac_align(
+                    self.camera,
+                    jnp.asarray(pts0),
+                    jnp.asarray(pts1),
+                    jnp.asarray(valid),
+                    jax.random.PRNGKey(self.rng_seed + k),
+                    num_iters=self.ransac_iters,
+                    thresh=self.ransac_thresh,
+                )
+                res_T = np.asarray(res.T_1_0)
+                res_inliers = np.asarray(res.inliers)
+                n_inl = int(res.num_inliers)
             if n_inl < 3:
                 ok_all = False
                 return False

@@ -424,6 +424,19 @@ def solve_ba(
     return lm_minimize(problem, state0, config)
 
 
+def _marginal_block(H: jnp.ndarray, base: jnp.ndarray, d: int = 6) -> jnp.ndarray:
+    """``(H^{-1})[base:base+d, base:base+d]`` via Cholesky solve against a
+    d-column unit RHS. H is SPD; avoids `jnp.linalg.inv`, whose LU
+    lowering is f32-only on TPU."""
+    D = H.shape[0]
+    E = jax.lax.dynamic_update_slice(
+        jnp.zeros((D, d), H.dtype), jnp.eye(d, dtype=H.dtype), (base, 0)
+    )
+    L, low = jax.scipy.linalg.cho_factor(H, lower=True)
+    X = jax.scipy.linalg.cho_solve((L, low), E)
+    return jax.lax.dynamic_slice(X, (base, 0), (d, d))
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_ba_with_covariance(
     problem: StereoBAProblem,
@@ -436,9 +449,7 @@ def solve_ba_with_covariance(
     halves the round trips)."""
     sol, summary = lm_minimize(problem, state0, config)
     H, _ = ba_normal_equations(problem, sol)
-    Hinv = jnp.linalg.inv(H)
-    base = 6 * pose_idx
-    cov = jax.lax.dynamic_slice(Hinv, (base, base), (6, 6))
+    cov = _marginal_block(H, 6 * pose_idx)
     return sol, summary, cov
 
 
@@ -454,6 +465,4 @@ def pose_tangent_covariance(
     the (gauge-fixed) Gauss-Newton Hessian in tangent coordinates.
     """
     H, _ = ba_normal_equations(problem, state)
-    Hinv = jnp.linalg.inv(H)
-    base = 6 * pose_idx
-    return jax.lax.dynamic_slice(Hinv, (base, base), (6, 6))
+    return _marginal_block(H, 6 * pose_idx)

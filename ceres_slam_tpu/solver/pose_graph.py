@@ -129,7 +129,7 @@ def pose_graph_covariance(
     problem: PoseGraphProblem, poses: jnp.ndarray, pose_idx: jnp.ndarray
 ) -> jnp.ndarray:
     """6x6 tangent marginal covariance of one pose at the solution."""
+    from ceres_slam_tpu.solver.dense import _marginal_block
+
     H, _ = pose_graph_normal_equations(problem, poses)
-    Hinv = jnp.linalg.inv(H)
-    base = 6 * pose_idx
-    return jax.lax.dynamic_slice(Hinv, (base, base), (6, 6))
+    return _marginal_block(H, 6 * pose_idx)
