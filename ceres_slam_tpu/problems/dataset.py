@@ -158,7 +158,7 @@ class DatasetProblem:
         The sliding-window loop re-runs the identical pair alignment every
         window (reset_points wipes landmark init between windows); with a
         high-latency device link this dominates wall time. One vmapped
-        RANSAC над all pairs (chunked) replaces K-1 sequential calls.
+        RANSAC over all pairs (chunked) replaces K-1 sequential calls.
         Results are bit-identical to the per-call path (same per-pair PRNG
         keys)."""
         K = self.num_states
@@ -231,14 +231,12 @@ class DatasetProblem:
                 res_inliers = np.asarray(res.inliers)
                 n_inl = int(res.num_inliers)
             if n_inl < 3:
-                ok_all = False
                 return False
-            T_k_km1 = np.asarray(res.T_1_0)
             # Compound onto the previous pose (dataset_problem.cpp:241) —
             # host numpy: per-window scalar math is latency-bound on device.
-            self.poses[k] = se3np.compose(T_k_km1, self.poses[k - 1])
+            self.poses[k] = se3np.compose(res_T, self.poses[k - 1])
             # Initialize inlier landmarks in the base frame (:245-255)
-            inl = np.asarray(res.inliers)[:M]
+            inl = res_inliers[:M]
             jj = self.point_ids[idx_a[inl]]
             new = ~self.initialized_point[jj]
             if np.any(new):
@@ -246,7 +244,7 @@ class DatasetProblem:
                 p_g = se3np.transform_point(T_inv, self._pts_c[idx_a[inl]])
                 self.map_points[jj[new]] = p_g[new]
                 self.initialized_point[jj[new]] = True
-        return ok_all
+        return True
 
     # -- window problem construction -----------------------------------------
 
@@ -355,6 +353,8 @@ class DatasetProblem:
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad = self._window_budget(window)
+        if window < K:
+            self.precompute_pair_alignments()
         summaries = []
         for k1 in range(0, K - window + 1):
             k2 = min(k1 + window, K)
@@ -476,6 +476,7 @@ class DatasetProblemSun(DatasetProblem):
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad = self._window_budget(window)
+        self.precompute_pair_alignments()
         summaries = []
         k_start = 0
         if checkpoint:
