@@ -18,13 +18,16 @@ def main(argv=None):
     p = base_parser("dataset_vo: stereo VO / full-batch bundle adjustment")
     p.add_argument("input_file")
     p.add_argument("--window", type=int, default=0, help="0 = full batch")
+    p.add_argument("--dtype", default="float64", choices=["float64", "float32"],
+                   help="solver dtype (float32 = fast TPU mode)")
     args = p.parse_args(argv)
-    setup_jax(args.platform)
+    setup_jax(args.platform, x64=(args.dtype == "float64"))
 
     from ceres_slam_tpu.problems.dataset import DatasetProblem
     from ceres_slam_tpu.solver.dense import SolveConfig
 
     dataset = DatasetProblem.read_csv(args.input_file)
+    dataset.dtype = args.dtype
     print(
         f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
         f"{dataset.state_ids.size} observations",

@@ -31,8 +31,10 @@ def main(argv=None):
     p.add_argument("--az-err-thresh", type=float, default=1000.0, help="degrees")
     p.add_argument("--zen-err-thresh", type=float, default=1000.0, help="degrees")
     p.add_argument("--sun-only", action="store_true")
+    p.add_argument("--dtype", default="float64", choices=["float64", "float32"],
+                   help="solver dtype (float32 = fast TPU mode)")
     args = p.parse_args(argv)
-    setup_jax(args.platform)
+    setup_jax(args.platform, x64=(args.dtype == "float64"))
 
     from ceres_slam_tpu.problems.dataset import DatasetProblemSun
     from ceres_slam_tpu.solver.dense import SolveConfig
@@ -44,6 +46,7 @@ def main(argv=None):
     dataset = DatasetProblemSun.read_csv(
         args.track_file, args.ref_sun_file, args.obs_sun_file
     )
+    dataset.dtype = args.dtype
     print(
         f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
         f"{dataset.state_ids.size} stereo obs, "

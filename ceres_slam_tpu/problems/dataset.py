@@ -58,6 +58,17 @@ class DatasetProblem:
     ransac_iters: int = 400
     ransac_thresh: float = 4.0
     rng_seed: int = 42
+    # Solver dtype: float64 (default; exact) or float32 (fast TPU mode —
+    # the covariance floor keeps the whitened prior conditioned in f32).
+    dtype: str = "float64"
+
+    @property
+    def _dt(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def _covar_floor(self) -> float:
+        return 1e-12 if self.dtype == "float64" else 1e-8
 
     # -- IO -----------------------------------------------------------------
 
@@ -292,9 +303,10 @@ class DatasetProblem:
         point_valid = np.zeros(n_pts_pad, bool)
         point_valid[:n_pts] = self.initialized_point[slots]
 
-        stiffness = factors.inv_sqrt_psd(jnp.asarray(covar))
+        dt = self._dt
+        stiffness = factors.inv_sqrt_psd(jnp.asarray(covar, dt))
         stereo = dense.StereoObs(
-            uvd=jnp.asarray(uvd),
+            uvd=jnp.asarray(uvd, dt),
             stiffness=stiffness,
             pose_idx=jnp.asarray(pose_idx),
             point_idx=jnp.asarray(point_idx),
@@ -302,36 +314,36 @@ class DatasetProblem:
         )
         if sun is None:
             sun = dense.SunObs(
-                dir_c=jnp.zeros((Kw, 3)),
-                dir_g=jnp.zeros((Kw, 3)),
-                stiffness=jnp.broadcast_to(jnp.eye(2), (Kw, 2, 2)),
+                dir_c=jnp.zeros((Kw, 3), dt),
+                dir_g=jnp.zeros((Kw, 3), dt),
+                stiffness=jnp.broadcast_to(jnp.eye(2, dtype=dt), (Kw, 2, 2)),
                 valid=jnp.zeros(Kw, bool),
             )
         if prior is None:
             prior = dense.PosePrior(
                 pose_idx=jnp.asarray(0, jnp.int32),
-                T_ref=jnp.asarray(self.poses[k1]),
-                stiffness=jnp.eye(6),
+                T_ref=jnp.asarray(self.poses[k1], dt),
+                stiffness=jnp.eye(6, dtype=dt),
                 valid=jnp.asarray(False),
             )
         fixed = np.zeros(Kw, bool)
         fixed[0] = gauge_fix_first
         problem = dense.StereoBAProblem(
-            camera=self.camera,
+            camera=self.camera.astype(dt),
             stereo=stereo,
             sun=sun,
             prior=prior,
             fixed_pose_mask=jnp.asarray(fixed),
             point_valid=jnp.asarray(point_valid),
-            sun_huber=jnp.asarray(float(sun_huber)),
-            az_err_thresh=jnp.asarray(float(az_err_thresh)),
-            zen_err_thresh=jnp.asarray(float(zen_err_thresh)),
+            sun_huber=jnp.asarray(float(sun_huber), dt),
+            az_err_thresh=jnp.asarray(float(az_err_thresh), dt),
+            zen_err_thresh=jnp.asarray(float(zen_err_thresh), dt),
         )
 
         pts = np.zeros((n_pts_pad, 3))
         pts[:n_pts] = self.map_points[slots]
         state = dense.BAState(
-            poses=jnp.asarray(self.poses[k1:k2]), points=jnp.asarray(pts)
+            poses=jnp.asarray(self.poses[k1:k2], dt), points=jnp.asarray(pts, dt)
         )
         return problem, state, slots
 
@@ -432,18 +444,21 @@ class DatasetProblemSun(DatasetProblem):
         return super().compute_initial_guess(k1, k2)
 
     def _window_sun(self, k1: int, k2: int) -> dense.SunObs:
+        dt = self._dt
         return dense.SunObs(
-            dir_c=jnp.asarray(self.sun_obs_list[k1:k2]),
-            dir_g=jnp.asarray(self.sun_dir_g[k1:k2]),
-            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.sun_obs_covars[k1:k2])),
+            dir_c=jnp.asarray(self.sun_obs_list[k1:k2], dt),
+            dir_g=jnp.asarray(self.sun_dir_g[k1:k2], dt),
+            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.sun_obs_covars[k1:k2], dt)),
             valid=jnp.asarray(self.state_has_sun_obs[k1:k2]),
         )
 
     def _window_prior(self, k1: int) -> dense.PosePrior:
+        dt = self._dt
+        covar = self.pose_covars[k1] + self._covar_floor * np.eye(6)
         return dense.PosePrior(
             pose_idx=jnp.asarray(0, jnp.int32),
-            T_ref=jnp.asarray(self.poses[k1]),
-            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.pose_covars[k1])),
+            T_ref=jnp.asarray(self.poses[k1], dt),
+            stiffness=factors.inv_sqrt_psd(jnp.asarray(covar, dt)),
             valid=jnp.asarray(True),
         )
 

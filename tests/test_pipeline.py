@@ -143,3 +143,16 @@ class TestCheckpointResume:
         step, arrays = ckpt.load(path)
         assert step == 7
         assert np.allclose(arrays["poses"], p1.poses)
+
+
+def test_float32_pipeline(sim_files):
+    """f32 mode (fast TPU path): same pipeline, looser tolerance, and the
+    covariance floor keeps the whitened prior conditioned."""
+    prob = DatasetProblemSun.read_csv(
+        sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+    )
+    prob.dtype = "float32"
+    prob.solve_sliding_window(window=2, use_sun=True)
+    ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
+    assert np.all(np.isfinite(prob.poses))
+    assert ate < 0.6, f"f32 pipeline ATE {ate}"
