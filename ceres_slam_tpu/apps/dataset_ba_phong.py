@@ -38,6 +38,13 @@ def main(argv=None):
         f"{dataset.num_materials} materials, {dataset.state_ids.size} observations",
         file=sys.stderr,
     )
+    # Emit the VO initial guess before refinement
+    # (tests/dataset_ba_phong.cpp:308-311).
+    dataset.compute_initial_guess()
+    base = args.input_file.rsplit(".", 1)[0]
+    dataset.write_csv(base + "_initial.csv")
+    dataset.reset_points()
+
     summaries = dataset.solve_full(
         window=args.window,
         use_light=not args.nolight,

@@ -245,9 +245,14 @@ class DatasetProblemPhong:
         K = self.num_states
         window = window or K
         all_summaries = []
-        self.compute_initial_guess(0, K)
-        for k1 in range(0, K - window + 1, max(1, window - 1) if window < K else K):
+        for k1 in range(0, K - window + 1):
             k2 = min(k1 + window, K)
+            # Initial guess: full chain for the first window, then only the
+            # newly entered frame (tests/dataset_ba_phong.cpp:318-326).
+            if k1 > 0:
+                self.compute_initial_guess(k2 - 1, k2)
+            else:
+                self.compute_initial_guess(k1, k2)
             problem, state = self._build_problem(k1, k2)
             sol, summaries = phong_mod.solve_phong_staged(
                 problem, state, config,
