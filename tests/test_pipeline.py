@@ -156,3 +156,11 @@ def test_float32_pipeline(sim_files):
     ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
     assert np.all(np.isfinite(prob.poses))
     assert ate < 0.6, f"f32 pipeline ATE {ate}"
+
+
+def test_windowed_vo_window5(sim_files):
+    """dataset_vo with a 5-frame sliding window (reference --window N)."""
+    prob = DatasetProblem.read_csv(sim_files["track_vo"])
+    prob.solve_full(window=5)
+    ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
+    assert ate < 0.3, f"window-5 VO ATE {ate}"
