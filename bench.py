@@ -42,14 +42,16 @@ def lm_loop_fn():
     import jax
     import jax.numpy as jnp
 
-    from ceres_slam_tpu.solver import dense, schur
+    from ceres_slam_tpu.solver import dense, pcg
 
     @jax.jit
     def run(problem, state):
         def body(_, carry):
             state, lam, cost = carry
-            blocks = dense.ba_block_normal_equations(problem, state)
-            dx, _, _ = schur.schur_step(problem, blocks, lam)
+            # Matrix-free Schur-PCG: fastest measured linear solver on TPU
+            # (200 vs 143 it/s for dense-W Schur at this scale; 2.5x at
+            # K=256/J=8192 — see BASELINE.md).
+            dx, _, _ = pcg.pcg_step(problem, state, lam, max_cg_iters=50, cg_tol=1e-5)
             new_state = dense._retract_state(problem, state, dx)
             new_cost = dense.ba_cost(problem, new_state)
             accept = jnp.isfinite(new_cost) & (new_cost < cost)
