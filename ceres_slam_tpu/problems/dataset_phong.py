@@ -51,6 +51,7 @@ class DatasetProblemPhong:
     ransac_iters: int = 400
     ransac_thresh: float = 9.0  # dataset_problem_phong.cpp:345
     rng_seed: int = 42
+    dtype: str = "float64"
 
     # -- IO -------------------------------------------------------------
 
@@ -202,10 +203,11 @@ class DatasetProblemPhong:
         sel = np.concatenate(self._state_obs[k1:k2])
         from ceres_slam_tpu.ops import factors as factors_mod
 
+        dt = jnp.dtype(self.dtype)
         obs = phong_mod.PhongObs(
-            uvd=jnp.asarray(self.obs_list[sel]),
-            int_obs=jnp.asarray(self.int_list[sel]),
-            normal_obs=jnp.asarray(self.normal_obs_list[sel]),
+            uvd=jnp.asarray(self.obs_list[sel], dt),
+            int_obs=jnp.asarray(self.int_list[sel], dt),
+            normal_obs=jnp.asarray(self.normal_obs_list[sel], dt),
             pose_idx=jnp.asarray(self.state_ids[sel] - k1, jnp.int32),
             vertex_idx=jnp.asarray(self.vertex_ids[sel], jnp.int32),
             material_idx=jnp.asarray(self.material_ids[sel], jnp.int32),
@@ -213,21 +215,21 @@ class DatasetProblemPhong:
         )
         Kw = k2 - k1
         problem = phong_mod.PhongBAProblem(
-            camera=self.camera,
+            camera=self.camera.astype(dt),
             obs=obs,
-            stereo_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.stereo_obs_var))),
-            normal_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.normal_obs_var))),
-            int_stiffness=jnp.asarray(1.0 / np.sqrt(self.int_var)),
+            stereo_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.stereo_obs_var, dt))),
+            normal_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.normal_obs_var, dt))),
+            int_stiffness=jnp.asarray(1.0 / np.sqrt(self.int_var), dt),
             fixed_pose_mask=jnp.zeros(Kw, bool).at[0].set(True),
             vertex_valid=jnp.asarray(self.initialized_vertex),
         )
         state = phong_mod.PhongState(
-            poses=jnp.asarray(self.poses[k1:k2]),
-            points=jnp.asarray(self.vertex_positions),
-            normals=jnp.asarray(self.vertex_normals),
-            phong=jnp.asarray(self.materials),
-            textures=jnp.asarray(self.textures),
-            light=jnp.asarray(self.light),
+            poses=jnp.asarray(self.poses[k1:k2], dt),
+            points=jnp.asarray(self.vertex_positions, dt),
+            normals=jnp.asarray(self.vertex_normals, dt),
+            phong=jnp.asarray(self.materials, dt),
+            textures=jnp.asarray(self.textures, dt),
+            light=jnp.asarray(self.light, dt),
         )
         return problem, state
 

@@ -164,3 +164,36 @@ def test_windowed_vo_window5(sim_files):
     prob.solve_full(window=5)
     ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
     assert ate < 0.3, f"window-5 VO ATE {ate}"
+
+
+def test_ransac_failure_fallback(sim_files, tmp_path):
+    """Fault injection: a frame with no common features triggers the
+    copy-pose-and-covariance-forward fallback (tests/dataset_vo_sun.cpp:276-281)
+    instead of crashing or emitting garbage."""
+    import copy
+
+    ds = copy.deepcopy(sim_files["ds"])
+    # Cripple frame 12: remap its observations to unique bogus point ids so
+    # no reciprocal matches exist with neighbors.
+    sel = ds.state_ids == 12
+    n_max = ds.point_ids.max()
+    ds.point_ids = ds.point_ids.copy()
+    ds.point_ids[sel] = n_max + 1 + np.arange(sel.sum())
+    # Keep header consistent with the new max id
+    ds.points_gt = np.concatenate(
+        [ds.points_gt, np.zeros((int(sel.sum()), 3))]
+    )
+    track = str(tmp_path / "crippled.csv")
+    ref_sun = str(tmp_path / "r.csv")
+    obs_sun = str(tmp_path / "o.csv")
+    sim.write_track_csv(ds, track, with_covar=True)
+    sim.write_ref_sun_csv(ds, ref_sun)
+    sim.write_obs_sun_csv(ds, obs_sun)
+
+    prob = DatasetProblemSun.read_csv(track, ref_sun, obs_sun)
+    prob.solve_sliding_window(window=2, use_sun=False)
+    assert np.all(np.isfinite(prob.poses))
+    assert np.all(np.isfinite(prob.pose_covars))
+    # the crippled windows copied poses forward: pose 12/13 equal pose 11-ish
+    # (exact copy semantics: poses[k2-1] = poses[k1])
+    assert np.allclose(prob.poses[12], prob.poses[11])
