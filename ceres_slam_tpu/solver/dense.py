@@ -261,16 +261,6 @@ def blocks_to_dense(blocks: BlockNormalEq):
     return H, g
 
 
-def stereo_normal_contrib(
-    camera: StereoCamera,
-    stereo: StereoObs,
-    point_valid: jnp.ndarray,
-    state: BAState,
-):
-    """Stereo-factor contribution to the dense normal equations."""
-    return blocks_to_dense(stereo_block_contrib(camera, stereo, point_valid, state))
-
-
 def aux_pose_blocks(problem: StereoBAProblem, state: BAState):
     """Sun + pose-prior contributions — they only touch the pose diagonal
     blocks, so they are returned as (Hpp_add [K,6,6], gp_add [K,6])."""
@@ -314,20 +304,6 @@ def ba_block_normal_equations(problem: StereoBAProblem, state: BAState) -> Block
     )
     Hpp_aux, gp_aux = aux_pose_blocks(problem, state)
     return blocks._replace(Hpp=blocks.Hpp + Hpp_aux, gp=blocks.gp + gp_aux)
-
-
-def aux_normal_contrib(problem: StereoBAProblem, state: BAState):
-    """Sun + pose-prior contribution as a dense (H, g) — used by the
-    distributed path which adds it to the psum-reduced stereo part."""
-    K = state.poses.shape[0]
-    J = state.points.shape[0]
-    D = 6 * K + 3 * J
-    dtype = state.poses.dtype
-    Hpp, gp = aux_pose_blocks(problem, state)
-    H = jnp.zeros((D, D), dtype)
-    H = _scatter_H(H, 6 * jnp.arange(K), 6 * jnp.arange(K), Hpp)
-    g = jnp.zeros((D,), dtype).at[: 6 * K].set(gp.reshape(-1))
-    return H, g
 
 
 def apply_gauge_mask(problem: StereoBAProblem, H: jnp.ndarray, g: jnp.ndarray):
