@@ -114,6 +114,64 @@ def build_obs_blocks(
     )
 
 
+class ObsTables(NamedTuple):
+    """Static gather tables: observations grouped by landmark and by pose.
+
+    Converts the CG matvec's segment-sum scatters into dense gathers +
+    einsums (TPU scatters serialize; gathers vectorize). Built once per
+    problem structure on the host; padding entries point at obs 0 with
+    weight 0."""
+
+    by_point: jnp.ndarray  # [J, O_l] obs indices (padded)
+    by_point_w: jnp.ndarray  # [J, O_l] 1/0 padding weights
+    by_pose: jnp.ndarray  # [K, O_p]
+    by_pose_w: jnp.ndarray  # [K, O_p]
+
+
+def build_obs_tables(pose_idx, point_idx, K: int, J: int) -> ObsTables:
+    """Host-side construction of the gather tables (numpy, one-time)."""
+    import numpy as np
+
+    pose_idx = np.asarray(pose_idx)
+    point_idx = np.asarray(point_idx)
+    N = pose_idx.shape[0]
+
+    def group(ids, n):
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        counts = np.bincount(ids, minlength=n)
+        O = max(1, int(counts.max()))
+        table = np.zeros((n, O), np.int32)
+        w = np.zeros((n, O), np.float32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for i in range(n):
+            c = counts[i]
+            table[i, :c] = order[starts[i] : starts[i] + c]
+            w[i, :c] = 1.0
+        return jnp.asarray(table), jnp.asarray(w)
+
+    bp, bpw = group(point_idx, J)
+    bk, bkw = group(pose_idx, K)
+    return ObsTables(by_point=bp, by_point_w=bpw, by_pose=bk, by_pose_w=bkw)
+
+
+def schur_matvec_gather(b: ObsBlocks, t: ObsTables, v: jnp.ndarray) -> jnp.ndarray:
+    """``S v`` with gather-table reductions (no scatters)."""
+    dtype = v.dtype
+    # U^T v per landmark: gather obs of each landmark + their poses.
+    U_l = b.U[t.by_point]  # [J, O, 6, 3]
+    v_l = v[b.pose_idx[t.by_point]]  # [J, O, 6]
+    w_l = t.by_point_w.astype(dtype)
+    Utv = jnp.einsum("joab,joa,jo->jb", U_l, v_l, w_l)  # [J, 3]
+    y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)
+    # U y per pose
+    U_p = b.U[t.by_pose]  # [K, O, 6, 3]
+    y_p = y[b.point_idx[t.by_pose]]  # [K, O, 3]
+    w_p = t.by_pose_w.astype(dtype)
+    Uy = jnp.einsum("koab,kob,ko->ka", U_p, y_p, w_p)
+    return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
+
+
 def schur_matvec(b: ObsBlocks, v: jnp.ndarray) -> jnp.ndarray:
     """``S v`` for v [K, 6], matrix-free over observations."""
     K = b.Hpp.shape[0]
@@ -154,9 +212,13 @@ def _block_precond(S_diag: jnp.ndarray):
     return apply
 
 
-def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float):
-    """Block-Jacobi preconditioned CG on the reduced camera system."""
+def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
+              tables: "ObsTables | None" = None):
+    """Block-Jacobi preconditioned CG on the reduced camera system.
+    With ``tables``, matvecs use gather-table reductions (no scatters)."""
     precond = _block_precond(schur_diag_blocks(b))
+    matvec = (lambda v: schur_matvec_gather(b, tables, v)) if tables is not None \
+        else (lambda v: schur_matvec(b, v))
 
     r0 = rhs
     z0 = precond(r0)
@@ -171,7 +233,7 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float):
 
     def body(carry):
         x, r, z, pv, rz, i = carry
-        Sp = schur_matvec(b, pv)
+        Sp = matvec(pv)
         denom = jnp.sum(pv * Sp)
         alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
         x = x + alpha * pv
@@ -188,7 +250,8 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float):
     return x, iters
 
 
-def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6):
+def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
+             tables: "ObsTables | None" = None):
     """One damped LM linear solve via Schur + PCG; returns
     (dx, grad_norm, pred_decrease) for the shared LM core."""
     b = build_obs_blocks(problem, state, lam)
@@ -202,7 +265,7 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6)
     )
     rhs = -(b.gp - Uy)
 
-    dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol)
+    dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol, tables=tables)
 
     # back-substitute landmarks: dl = -C^{-1}(gl + U^T dp)
     Utdp = jax.ops.segment_sum(

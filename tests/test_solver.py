@@ -263,3 +263,35 @@ class TestDogleg:
             float(sum_dl.final_cost), float(sum_lm.final_cost), rtol=1e-5
         )
         assert np.allclose(sol_dl.poses, sol_lm.poses, atol=1e-5)
+
+
+class TestPCGTables:
+    def test_gather_matvec_matches_segment_matvec(self):
+        from ceres_slam_tpu.solver import pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(17), K=5, J=70, noise_px=0.4)
+        init = perturb(gt, key)
+        lam = jnp.asarray(1e-3)
+        b = pcg.build_obs_blocks(problem, init, lam)
+        t = pcg.build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx, 5, 70
+        )
+        v = jax.random.normal(jax.random.PRNGKey(0), (5, 6), dtype=jnp.float64)
+        ref = pcg.schur_matvec(b, v)
+        out = pcg.schur_matvec_gather(b, t, v)
+        assert np.allclose(out, ref, atol=1e-10)
+
+    def test_pcg_step_with_tables_matches(self):
+        from ceres_slam_tpu.solver import pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(18), K=4, J=50, noise_px=0.3)
+        init = perturb(gt, key)
+        lam = jnp.asarray(1e-3)
+        t = pcg.build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx, 4, 50
+        )
+        dx_ref, _, _ = pcg.pcg_step(problem, init, lam, max_cg_iters=200, cg_tol=1e-12)
+        dx, _, _ = pcg.pcg_step(
+            problem, init, lam, max_cg_iters=200, cg_tol=1e-12, tables=t
+        )
+        assert np.allclose(dx, dx_ref, atol=1e-8)
