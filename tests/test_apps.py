@@ -1,0 +1,59 @@
+"""CLI app smoke tests (argv-level, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sim_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("appsim"))
+    from ceres_slam_tpu.apps.make_sim import main as make_sim
+
+    make_sim([d, "--kind", "triangle", "--num-states", "16",
+              "--num-points", "160", "--sun-noise", "10"])
+    return d
+
+
+def test_dataset_vo_cli(sim_dir, capsys):
+    from ceres_slam_tpu.apps.dataset_vo import main
+
+    main([os.path.join(sim_dir, "triangle16_vo.csv"), "--window", "0",
+          "--max-iters", "30"])
+    assert os.path.exists(os.path.join(sim_dir, "triangle16_vo_poses.csv"))
+    assert os.path.exists(os.path.join(sim_dir, "triangle16_vo_map.csv"))
+
+
+def test_dataset_vo_sun_cli_and_evaluate(sim_dir, capsys):
+    from ceres_slam_tpu.apps.dataset_vo_sun import main
+    from ceres_slam_tpu.apps.evaluate import main as evaluate
+
+    main([
+        os.path.join(sim_dir, "triangle16.csv"),
+        os.path.join(sim_dir, "triangle16_sun_ref.csv"),
+        os.path.join(sim_dir, "triangle16_sun_dir_gtsun10.csv"),
+        "--window", "2", "--max-iters", "30",
+    ])
+    est = os.path.join(sim_dir, "triangle16_gtsun10_poses.csv")
+    assert os.path.exists(est)
+    evaluate([est, os.path.join(sim_dir, "triangle16_gt_poses.csv"),
+              "--label", "smoke"])
+    out = capsys.readouterr().out
+    assert "ATE:" in out
+
+
+def test_blowup_cli(capsys):
+    from ceres_slam_tpu.apps.blowup import main
+
+    main(["--num-poses", "10"])
+    out = capsys.readouterr().out
+    assert "max relative deviation" in out
+
+
+def test_dense_stereo_cli(capsys):
+    from ceres_slam_tpu.apps.dense_stereo import main
+
+    main(["--height", "60", "--width", "80"])
+    out = capsys.readouterr().out
+    assert "pose error" in out
