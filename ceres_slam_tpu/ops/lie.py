@@ -196,6 +196,11 @@ def so3_inverse(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(C, -1, -2)
 
 
+def so3_adjoint(C: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) adjoint = the rotation matrix itself (so3group.hpp:120-123)."""
+    return C
+
+
 def so3_normalize(C: jnp.ndarray) -> jnp.ndarray:
     """Project onto SO(3) via SVD (so3group.hpp:128-137).
 

@@ -22,6 +22,12 @@ class SolveConfig(NamedTuple):
     init_lambda: float = 1e-4
     min_lambda: float = 1e-12
     max_lambda: float = 1e10
+    # Ceres use_nonmonotonic_steps (tests/dataset_vo.cpp:70): accept steps
+    # that increase the cost relative to the current iterate as long as
+    # they decrease it relative to the worst of the last `window` accepted
+    # costs — lets the trust region walk through small ridges.
+    nonmonotonic: bool = False
+    nonmonotonic_window: int = 5
 
 
 class SolveSummary(NamedTuple):
@@ -50,6 +56,9 @@ class _Carry(NamedTuple):
     it: jnp.ndarray
     done: jnp.ndarray
     history: tuple
+    cost_buf: jnp.ndarray  # [window] recent accepted costs (nonmonotonic ref)
+    best_state: object
+    best_cost: jnp.ndarray
 
 
 def lm_solve(
@@ -80,7 +89,11 @@ def lm_solve(
         actual_decrease = c.cost - new_cost
         rho = actual_decrease / jnp.maximum(pred_decrease, 1e-30)
 
-        accept = jnp.isfinite(new_cost) & (actual_decrease > 0.0)
+        if config.nonmonotonic:
+            accept_ref = jnp.max(c.cost_buf)
+        else:
+            accept_ref = c.cost
+        accept = jnp.isfinite(new_cost) & (new_cost < accept_ref)
         lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam_up = c.lam * 4.0
         lam = jnp.where(
@@ -110,7 +123,20 @@ def lm_solve(
                 gh.at[c.it].set(grad_norm),
                 ah.at[c.it].set(accept),
             )
-        return _Carry(state, lam, cost, grad_norm, c.it + 1, done, history)
+        cost_buf = jnp.where(
+            accept,
+            c.cost_buf.at[c.it % config.nonmonotonic_window].set(new_cost),
+            c.cost_buf,
+        )
+        better = accept & (new_cost < c.best_cost)
+        best_state = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), new_state, c.best_state
+        )
+        best_cost = jnp.where(better, new_cost, c.best_cost)
+        return _Carry(
+            state, lam, cost, grad_norm, c.it + 1, done, history,
+            cost_buf, best_state, best_cost,
+        )
 
     if record_history:
         nan = jnp.full((config.max_iters,), jnp.nan, dtype)
@@ -125,13 +151,20 @@ def lm_solve(
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         history=history0,
+        cost_buf=jnp.full((config.nonmonotonic_window,), cost0, dtype),
+        best_state=state0,
+        best_cost=cost0,
     )
     out = jax.lax.while_loop(cond, body, init)
     hist = out.history if record_history else (None, None, None, None)
-    return out.state, SolveSummary(
+    # With nonmonotonic steps the final iterate can sit above the best
+    # accepted one; return the best (Ceres returns the best minimizer).
+    final_state = out.best_state if config.nonmonotonic else out.state
+    final_cost = out.best_cost if config.nonmonotonic else out.cost
+    return final_state, SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
-        final_cost=out.cost,
+        final_cost=final_cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.lam,
         cost_history=hist[0],

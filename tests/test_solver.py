@@ -295,3 +295,17 @@ class TestPCGTables:
             problem, init, lam, max_cg_iters=200, cg_tol=1e-12, tables=t
         )
         assert np.allclose(dx, dx_ref, atol=1e-8)
+
+
+class TestNonmonotonic:
+    def test_nonmonotonic_converges(self):
+        problem, gt, key = make_problem(jax.random.PRNGKey(19), noise_px=0.3)
+        init = perturb(gt, key)
+        sol_m, sum_m = dense.solve_ba(problem, init)
+        sol_n, sum_n = dense.solve_ba(
+            problem, init,
+            dense.SolveConfig(max_iters=60, nonmonotonic=True),
+        )
+        # must reach (at least) the same optimum; best iterate is returned
+        assert float(sum_n.final_cost) <= float(sum_m.final_cost) * (1 + 1e-6)
+        assert np.allclose(sol_n.poses, sol_m.poses, atol=1e-4)
