@@ -17,6 +17,11 @@ def setup_jax(platform: str | None = None, x64: bool = True):
     f64 — accurate but slow; the hot paths accept f32 inputs instead."""
     import jax
 
+    if platform is None:
+        # Honor an explicit JAX_PLATFORMS env var: the sandbox's
+        # sitecustomize force-registers the TPU backend regardless of the
+        # env, so we must push it through jax.config.
+        platform = os.environ.get("JAX_PLATFORMS") or None
     if platform:
         jax.config.update("jax_platforms", platform)
     if x64:
