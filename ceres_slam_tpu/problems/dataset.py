@@ -121,6 +121,11 @@ class DatasetProblem:
         ]
         # pre-triangulated camera-frame points for all observations
         self._pts_c = np.asarray(self.camera.triangulate(jnp.asarray(self.obs_list)))
+        # pre-whitened stiffness for all observations (covariances are
+        # static per dataset; computing per window costs a device call each)
+        self._stiffness_all = np.asarray(
+            factors.inv_sqrt_psd(jnp.asarray(self.obs_covars))
+        )
         # static pad size for RANSAC match arrays
         max_matches = 1
         for k in range(1, K):
@@ -304,10 +309,11 @@ class DatasetProblem:
         point_valid[:n_pts] = self.initialized_point[slots]
 
         dt = self._dt
-        stiffness = factors.inv_sqrt_psd(jnp.asarray(covar, dt))
+        stiff_np = np.broadcast_to(np.eye(3), (n_obs_pad, 3, 3)).copy()
+        stiff_np[:n_obs] = self._stiffness_all[sel]
         stereo = dense.StereoObs(
             uvd=jnp.asarray(uvd, dt),
-            stiffness=stiffness,
+            stiffness=jnp.asarray(stiff_np, dt),
             pose_idx=jnp.asarray(pose_idx),
             point_idx=jnp.asarray(point_idx),
             valid=jnp.asarray(valid),
@@ -445,10 +451,12 @@ class DatasetProblemSun(DatasetProblem):
 
     def _window_sun(self, k1: int, k2: int) -> dense.SunObs:
         dt = self._dt
+        if not hasattr(self, "_sun_stiffness_all"):
+            self._sun_stiffness_all = se3np.inv_sqrt_psd(self.sun_obs_covars)
         return dense.SunObs(
             dir_c=jnp.asarray(self.sun_obs_list[k1:k2], dt),
             dir_g=jnp.asarray(self.sun_dir_g[k1:k2], dt),
-            stiffness=factors.inv_sqrt_psd(jnp.asarray(self.sun_obs_covars[k1:k2], dt)),
+            stiffness=jnp.asarray(self._sun_stiffness_all[k1:k2], dt),
             valid=jnp.asarray(self.state_has_sun_obs[k1:k2]),
         )
 
@@ -458,7 +466,7 @@ class DatasetProblemSun(DatasetProblem):
         return dense.PosePrior(
             pose_idx=jnp.asarray(0, jnp.int32),
             T_ref=jnp.asarray(self.poses[k1], dt),
-            stiffness=factors.inv_sqrt_psd(jnp.asarray(covar, dt)),
+            stiffness=jnp.asarray(se3np.inv_sqrt_psd(covar), dt),
             valid=jnp.asarray(True),
         )
 

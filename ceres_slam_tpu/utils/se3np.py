@@ -40,3 +40,11 @@ def transform_point(T: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 def transform_vector(T: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.einsum("...ij,...j->...i", rot(T), v)
+
+
+def inv_sqrt_psd(M: np.ndarray) -> np.ndarray:
+    """Host-side inverse matrix square root (tiny matrices: the per-window
+    6x6 prior stiffness; device round trips cost more than the math)."""
+    w, V = np.linalg.eigh(M)
+    w = np.maximum(w, np.finfo(M.dtype).tiny)
+    return np.einsum("...ij,...j,...kj->...ik", V, 1.0 / np.sqrt(w), V)
