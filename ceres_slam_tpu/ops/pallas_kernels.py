@@ -43,24 +43,22 @@ def _transpose(A, n, m):
     return [[A[i][j] for i in range(n)] for j in range(m)]
 
 
-def _stereo_kernel(cam_ref, T_ref, p_ref, uvd_ref, S_ref, valid_ref,
-                   r_ref, hpp_ref, hll_ref, u_ref, gp_ref, gl_ref):
+def _stereo_math(cam_ref, t, R, p, obs, S, w):
+    """Shared lane-major stereo-factor math: whitened residual + tangent
+    Jacobians from pose rows (t, R), point rows p, observation rows obs,
+    stiffness rows S and validity weight w (all [..., N] lane vectors)."""
     fu = cam_ref[0, 0]
     fv = cam_ref[0, 1]
     cu = cam_ref[0, 2]
     cv = cam_ref[0, 3]
     b = cam_ref[0, 4]
 
-    t = [T_ref[i, :] for i in range(3)]
-    R = [[T_ref[3 + 3 * i + j, :] for j in range(3)] for i in range(3)]
-    p = [p_ref[i, :] for i in range(3)]
-    obs = [uvd_ref[i, :] for i in range(3)]
-    S = [[S_ref[3 * i + j, :] for j in range(3)] for i in range(3)]
-    w = valid_ref[0, :]
-
-    # p_c = R p + t
+    # p_c = R p + t. Guard the depth division: padding/invalid lanes can
+    # carry z = 0 (zeroed poses), and 0 * inf = NaN would leak through the
+    # validity mask.
     pc = [R[i][0] * p[0] + R[i][1] * p[1] + R[i][2] * p[2] + t[i] for i in range(3)]
-    iz = 1.0 / pc[2]
+    z_safe = jnp.where(pc[2] == 0.0, 1.0, pc[2])
+    iz = 1.0 / z_safe
     iz2 = iz * iz
 
     pred = [fu * pc[0] * iz + cu, fv * pc[1] * iz + cv, fu * b * iz]
@@ -89,6 +87,19 @@ def _stereo_kernel(cam_ref, T_ref, p_ref, uvd_ref, S_ref, valid_ref,
                for i in range(3)]
     Jw_pt = [[w * sum(S[i][l] * J_pt[l][j] for l in range(3)) for j in range(3)]
              for i in range(3)]
+    return rw, Jw_pose, Jw_pt
+
+
+def _stereo_kernel(cam_ref, T_ref, p_ref, uvd_ref, S_ref, valid_ref,
+                   r_ref, hpp_ref, hll_ref, u_ref, gp_ref, gl_ref):
+    t = [T_ref[i, :] for i in range(3)]
+    R = [[T_ref[3 + 3 * i + j, :] for j in range(3)] for i in range(3)]
+    p = [p_ref[i, :] for i in range(3)]
+    obs = [uvd_ref[i, :] for i in range(3)]
+    S = [[S_ref[3 * i + j, :] for j in range(3)] for i in range(3)]
+    w = valid_ref[0, :]
+
+    rw, Jw_pose, Jw_pt = _stereo_math(cam_ref, t, R, p, obs, S, w)
 
     JpT = _transpose(Jw_pose, 3, 6)  # 6 x 3
     Hpp = _matmul(JpT, Jw_pose, 6, 3, 6)
@@ -174,3 +185,138 @@ def stereo_factor_blocks(
         gp.T,
         gl.T,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused window-BA kernel: pose gather (one-hot MXU), factor math, and the
+# pose-side Gram reduction in ONE pass — the latency-critical op of the
+# scatter-free window solver (solver/window.py). Replaces ~15 XLA fusion
+# groups (gathers + batched-tiny einsums + segment reductions) whose
+# dispatch overhead dominates at sliding-window scale.
+# ---------------------------------------------------------------------------
+
+
+def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
+                   w_ref, wp_ref, hll_ref, u_ref, gl_ref, hppgp_ref):
+    i = pl.program_id(0)
+    dtype = posesT_ref.dtype
+
+    # Gather the per-observation poses with an MXU one-hot matmul:
+    # T_lanes [12, TILE] = posesT [12, K] @ onehot_tile [K, TILE].
+    T_lanes = jnp.dot(posesT_ref[:, :], onehotT_ref[:, :],
+                      preferred_element_type=dtype)
+    t = [T_lanes[i_, :] for i_ in range(3)]
+    R = [[T_lanes[3 + 3 * a + b_, :] for b_ in range(3)] for a in range(3)]
+    p = [p_ref[i_, :] for i_ in range(3)]
+    obs = [uvd_ref[i_, :] for i_ in range(3)]
+    S = [[S_ref[3 * a + b_, :] for b_ in range(3)] for a in range(3)]
+    w = w_ref[0, :]
+
+    rw, Jw_pose, Jw_pt = _stereo_math(cam_ref, t, R, p, obs, S, w)
+
+    # Gauge fixing: zero the pose Jacobian (NOT the residual — fixed-pose
+    # observations still contribute cost, SetParameterBlockConstant
+    # semantics, dataset_vo.cpp:62).
+    wp = wp_ref[0, :]
+    Jw_pose = [[wp * Jw_pose[a][b_] for b_ in range(6)] for a in range(3)]
+
+    # Landmark-side per-observation outputs (reduced by contiguous
+    # reshape-sums outside — landmark-grouped layout).
+    JpT = _transpose(Jw_pose, 3, 6)  # 6 x 3
+    Hll = _matmul(_transpose(Jw_pt, 3, 3), Jw_pt, 3, 3, 3)
+    U = _matmul(JpT, Jw_pt, 6, 3, 3)
+    for a in range(3):
+        gl_ref[a, :] = sum(Jw_pt[l][a] * rw[l] for l in range(3))
+        for b_ in range(3):
+            hll_ref[3 * a + b_, :] = Hll[a][b_]
+    for a in range(6):
+        for b_ in range(3):
+            u_ref[3 * a + b_, :] = U[a][b_]
+
+    # Pose-side reduction to [43, K] via MXU: contrib rows are
+    # (Hpp flat 36 | gp 6 | 0.5 r^2); accumulate across sequential grid
+    # steps (each observation has exactly one 1 in its one-hot column, so
+    # the cost row reduces to per-pose cost — summed to a scalar outside).
+    Hpp = _matmul(JpT, Jw_pose, 6, 3, 6)
+    gp = [sum(JpT[a][l] * rw[l] for l in range(3)) for a in range(6)]
+    cost_lane = 0.5 * sum(rw[l] * rw[l] for l in range(3))
+    contrib = jnp.stack(
+        [Hpp[a][b_] for a in range(6) for b_ in range(6)] + gp + [cost_lane],
+        axis=0,
+    )  # [43, TILE]
+    tile_red = jax.lax.dot_general(
+        contrib, onehotT_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dtype,
+    )  # [43, K]
+
+    @pl.when(i == 0)
+    def _():
+        hppgp_ref[:, :] = tile_red
+
+    @pl.when(i > 0)
+    def _():
+        hppgp_ref[:, :] = hppgp_ref[:, :] + tile_red
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def window_factor_blocks(
+    camera,
+    posesT: jnp.ndarray,  # [12, K] current poses, transposed
+    onehotT: jnp.ndarray,  # [K, M] static pose one-hot (zero col = padding)
+    p_obs: jnp.ndarray,  # [3, M] per-observation landmark (broadcast, lane-major)
+    uvd: jnp.ndarray,  # [3, M]
+    stiffness: jnp.ndarray,  # [9, M]
+    weight: jnp.ndarray,  # [1, M] static validity weight (valid & point_valid)
+    pose_free: jnp.ndarray,  # [1, M] static gauge weight (free_pose[pose_idx])
+    interpret: bool = False,
+):
+    """Fused window-BA factor pass (landmark-grouped padded layout).
+
+    Returns lane-major per-observation landmark blocks plus the fully
+    reduced pose-side system and per-pose stereo cost:
+      hll [9, M], u [18, M], gl [3, M], hppgp [43, K]
+      (rows 0:36 = Hpp blocks flat, 36:42 = gp, 42 = 0.5 sum r^2 per pose).
+    M must be a multiple of TILE; K <= 128 recommended (one lane tile).
+    """
+    K = posesT.shape[1]
+    M = onehotT.shape[1]
+    assert M % TILE == 0, f"M={M} must be a multiple of {TILE}"
+    dtype = jnp.float32 if posesT.dtype != jnp.float64 else posesT.dtype
+
+    cam = jnp.stack(
+        [jnp.asarray(camera.fu, dtype), jnp.asarray(camera.fv, dtype),
+         jnp.asarray(camera.cu, dtype), jnp.asarray(camera.cv, dtype),
+         jnp.asarray(camera.b, dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
+         jnp.zeros((), dtype)]
+    )[None, :]
+
+    grid = (M // TILE,)
+
+    def tiled(rows):
+        return pl.BlockSpec((rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def whole(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((9, M), dtype),    # hll
+        jax.ShapeDtypeStruct((18, M), dtype),   # u
+        jax.ShapeDtypeStruct((3, M), dtype),    # gl
+        jax.ShapeDtypeStruct((43, K), dtype),   # hppgp+cost (accumulated)
+    )
+    return pl.pallas_call(
+        _window_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            whole(12, K),
+            tiled(K),
+            tiled(3), tiled(3), tiled(9), tiled(1), tiled(1),
+        ],
+        out_specs=(tiled(9), tiled(18), tiled(3), whole(43, K)),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(cam, posesT.astype(dtype), onehotT.astype(dtype), p_obs.astype(dtype),
+      uvd.astype(dtype), stiffness.astype(dtype), weight.astype(dtype),
+      pose_free.astype(dtype))

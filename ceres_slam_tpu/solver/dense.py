@@ -186,6 +186,30 @@ def ba_cost(problem: StereoBAProblem, state: BAState) -> jnp.ndarray:
     return 0.5 * (c_st + c_sun + c_pr)
 
 
+def ba_cost_aux(problem: StereoBAProblem, state: BAState) -> jnp.ndarray:
+    """Sun + prior cost only (the stereo term comes fused out of the
+    window factor kernel in solver/window.py)."""
+    p = problem
+    r_sun, _ = factors.sun_sensor(
+        state.poses, p.sun.dir_c, p.sun.dir_g, p.sun.stiffness,
+        az_err_thresh=p.az_err_thresh, zen_err_thresh=p.zen_err_thresh,
+    )
+    sq = jnp.sum(r_sun * r_sun, axis=-1)
+    rho_sun = jnp.where(
+        p.sun_huber > 0.0,
+        loss_mod.huber_rho(sq, jnp.maximum(p.sun_huber, 1e-30)),
+        sq,
+    )
+    r_pr, _ = factors.pose_prior(
+        state.poses[p.prior.pose_idx], p.prior.T_ref, p.prior.stiffness
+    )
+    dtype = state.poses.dtype
+    return 0.5 * (
+        jnp.sum(rho_sun * p.sun.valid.astype(dtype))
+        + jnp.sum(r_pr * r_pr) * p.prior.valid.astype(dtype)
+    )
+
+
 class BlockNormalEq(NamedTuple):
     """Block-sparse Gauss-Newton system for BA.
 

@@ -1,0 +1,443 @@
+"""Scatter-free explicit-Schur window solver (TPU latency-optimized).
+
+The general PCG path (`ceres_slam_tpu/solver/pcg.py`) is matrix-free and
+scales to full-batch BA, but on TPU its serial CG chain of small
+gather/segment-sum ops is dispatch-latency-bound: profiling on the v5e
+chip (scripts/profile_pcg*.py, profile_pieces.py) shows ~10-40us per XLA
+fusion group and element-serial row gathers, leaving the chip >95% idle at
+sliding-window scale. This module is the window-scale (K <= ~128 poses)
+replacement, built on three measured facts:
+
+  1. TPU scatters/gathers serialize, but ONE-HOT MXU MATMULS do the same
+     index arithmetic at full throughput for small K.
+  2. The reduced camera matrix S (6K x 6K <= 768 x 768) is small enough to
+     materialize; a dense Cholesky solve on it costs ~0.1 ms.
+  3. Observation structure is STATIC across LM iterations, so the
+     landmark-grouped padded layout, its one-hot matrices, and all
+     validity/gauge weights are built once on the host.
+
+Layout: observations are reordered landmark-grouped and padded to
+``[J, O]`` (O = max obs per landmark; invalid slots masked), making every
+landmark-side reduction a contiguous reshape-sum and every pose-side
+reduction a ``[M, K]`` one-hot matmul (M = J*O). The damped step is
+
+    S = Hpp_d (block diag) - W C^{-1} W^T,   W by a batched one-hot
+    contraction, dense Cholesky on S, landmarks back-substituted
+
+-- the same algebra as solver/schur.py (Ceres SPARSE_SCHUR,
+blowup_test.cpp:106) with zero scatters. Two implementations share it:
+
+  * `window_step` — pure XLA, any dtype/backend (correctness reference,
+    float64 CPU pipelines).
+  * the fused path in `solve_ba_window` — the Pallas mega-kernel
+    `ops.pallas_kernels.window_factor_blocks` evaluates the factor math,
+    the pose gather (one-hot MXU), the pose-side Gram reduction AND the
+    stereo cost in one pass; the LM loop is restructured so each
+    iteration runs the kernel exactly once (the candidate state's factor
+    pass doubles as its cost evaluation and, on acceptance, as the next
+    iteration's normal equations).
+
+Exact same minimum as the dense/Schur/PCG paths (landmark elimination is
+algebraic); validated against them in tests/test_window.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_slam_tpu.ops import factors
+from ceres_slam_tpu.ops import pallas_kernels
+from ceres_slam_tpu.solver import dense, lm
+from ceres_slam_tpu.solver.schur import _inv3x3
+
+
+class WindowLayout(NamedTuple):
+    """Static (host-built) landmark-grouped observation layout.
+
+    ``problem`` is the input problem with its stereo observations
+    reordered landmark-grouped and padded to ``M = J*O`` entries
+    (``O`` = max obs per landmark; padding slots have valid=False and
+    point at their landmark so reshape-sums stay correct). ``onehot`` is
+    the ``[M, K]`` pose indicator (zero rows for padding). The lane-major
+    fields feed the fused Pallas kernel; ``M_pad`` >= M is the TILE
+    multiple the kernel runs on.
+    """
+
+    problem: dense.StereoBAProblem
+    onehot: jnp.ndarray  # [M, K]
+    O: int
+    # --- fused-kernel statics (lane-major, padded to M_pad)
+    onehotT: jnp.ndarray  # [K, M_pad]
+    uvdT: jnp.ndarray  # [3, M_pad]
+    stiffT: jnp.ndarray  # [9, M_pad]
+    weightT: jnp.ndarray  # [1, M_pad]  valid & point_valid
+    pose_freeT: jnp.ndarray  # [1, M_pad]  ~fixed_pose[pose_idx]
+    onehot_jok: jnp.ndarray  # [J, O, K] (for the W contraction)
+
+
+def build_window_layout(problem: dense.StereoBAProblem, K: int, J: int) -> WindowLayout:
+    """Host-side: reorder stereo obs landmark-grouped, pad, build one-hots
+    and static weights. Observation structure must be concrete (outside
+    jit)."""
+    st = problem.stereo
+    pose_idx = np.asarray(st.pose_idx)
+    point_idx = np.asarray(st.point_idx)
+    valid = np.asarray(st.valid)
+    dtype = np.asarray(st.uvd).dtype
+
+    order = np.argsort(point_idx, kind="stable")
+    counts = np.bincount(point_idx, minlength=J)
+    O = max(1, int(counts.max()))
+    slot = np.zeros((J, O), np.int64)
+    w = np.zeros((J, O), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for j in range(J):
+        c = counts[j]
+        slot[j, :c] = order[starts[j] : starts[j] + c]
+        w[j, :c] = True
+    flat = slot.reshape(-1)
+    wf = w.reshape(-1)
+    M = J * O
+
+    uvd = np.asarray(st.uvd)[flat]
+    stiff = np.asarray(st.stiffness)[flat]
+    p_idx = np.where(wf, pose_idx[flat], 0).astype(np.int32)
+    v = wf & valid[flat]
+
+    new_stereo = dense.StereoObs(
+        uvd=jnp.asarray(uvd),
+        stiffness=jnp.asarray(stiff),
+        pose_idx=jnp.asarray(p_idx),
+        point_idx=jnp.asarray(np.repeat(np.arange(J, dtype=np.int32), O)),
+        valid=jnp.asarray(v),
+    )
+    onehot_np = (
+        np.where(wf, pose_idx[flat], -1)[:, None] == np.arange(K)[None, :]
+    ).astype(dtype)
+
+    # fused-kernel statics, padded to a TILE multiple
+    TILE = pallas_kernels.TILE
+    M_pad = max(TILE, ((M + TILE - 1) // TILE) * TILE)
+    point_valid = np.asarray(problem.point_valid)
+    fixed_pose = np.asarray(problem.fixed_pose_mask)
+    w_obs = (v & point_valid[np.repeat(np.arange(J), O)]).astype(dtype)
+    wp_obs = (~fixed_pose[p_idx]).astype(dtype)
+
+    def lane(x, rows):  # [M, rows] -> [rows, M_pad]
+        out = np.zeros((rows, M_pad), dtype)
+        out[:, :M] = x.reshape(M, rows).T
+        return jnp.asarray(out)
+
+    onehotT = np.zeros((K, M_pad), dtype)
+    onehotT[:, :M] = onehot_np.T
+    return WindowLayout(
+        problem=problem._replace(stereo=new_stereo),
+        onehot=jnp.asarray(onehot_np),
+        O=O,
+        onehotT=jnp.asarray(onehotT),
+        uvdT=lane(uvd, 3),
+        stiffT=lane(stiff.reshape(M, 9), 9),
+        weightT=lane(w_obs[:, None], 1),
+        pose_freeT=lane(wp_obs[:, None], 1),
+        onehot_jok=jnp.asarray(onehot_np.reshape(J, O, K)),
+    )
+
+
+def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
+    """Shared scatter-free Schur elimination from block inputs.
+
+    ``U_jo [J, O, 18]`` already carries validity/gauge masking. Returns
+    (dx, grad_norm, pred_decrease)."""
+    K = Hpp.shape[0]
+    J = Hll.shape[0]
+    dtype = Hpp.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    # pin empty diagonals (fixed poses / invalid points) to identity
+    dpp = jnp.einsum("kaa->ka", Hpp)
+    Hpp = Hpp + eye6 * jnp.all(dpp == 0.0, axis=-1)[:, None, None].astype(dtype)
+    dll = jnp.einsum("jaa->ja", Hll)
+    Hll_p = Hll + eye3 * jnp.all(dll == 0.0, axis=-1)[:, None, None].astype(dtype)
+
+    # LM damping + closed-form landmark inversion
+    Hpp_d = Hpp + lam * jnp.einsum(
+        "ka,ab->kab", jnp.clip(jnp.einsum("kaa->ka", Hpp), 1e-12, 1e32), eye6)
+    C_d = Hll_p + lam * jnp.einsum(
+        "ja,ab->jab", jnp.clip(jnp.einsum("jaa->ja", Hll_p), 1e-12, 1e32), eye3)
+    Cinv = _inv3x3(C_d)
+
+    # UC[j,o,a,c] = sum_b U[j,o,a,b] Cinv[j,b,c] — hand-unrolled broadcast
+    # (a batched-tiny einsum would materialize [J,O,6,3,3]).
+    U4 = U_jo.reshape(J, -1, 6, 3)
+    UC = sum(
+        U4[..., b_, None] * Cinv[:, None, None, b_, :] for b_ in range(3)
+    )  # [J, O, 6, 3]
+
+    # W / WC via batched one-hot contraction over the O slots
+    def contract(X):  # [J, O, 6, 3] -> [K*6, J*3]
+        Wj = jax.lax.dot_general(
+            onehot_jok, X.reshape(J, -1, 18),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+        )  # [J, K, 18]
+        return Wj.reshape(J, K, 6, 3).transpose(1, 2, 0, 3).reshape(6 * K, 3 * J)
+
+    Wf = contract(U4)
+    WCf = contract(UC)
+
+    S = -jnp.dot(WCf, Wf.T, preferred_element_type=dtype)
+    S = S.reshape(K, 6, K, 6) + jnp.eye(K, dtype=dtype)[:, None, :, None] * Hpp_d[:, :, None, :]
+    S = S.reshape(6 * K, 6 * K)
+    rhs = -(gp.reshape(-1) - WCf @ gl.reshape(-1))
+    L, low = jax.scipy.linalg.cho_factor(S, lower=True)
+    dp = jax.scipy.linalg.cho_solve((L, low), rhs)
+
+    Wt_dp = (Wf.T @ dp).reshape(J, 3)
+    dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp)
+
+    dx = jnp.concatenate([dp, dl.reshape(-1)])
+    grad_norm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
+
+    dp_r = dp.reshape(K, 6)
+    g_dot_dx = jnp.sum(gp * dp_r) + jnp.sum(gl * dl)
+    dxHdx = (
+        jnp.einsum("ka,kab,kb->", dp_r, Hpp, dp_r)
+        + 2.0 * (dp @ (Wf @ dl.reshape(-1)))
+        + jnp.einsum("ja,jab,jb->", dl, Hll_p, dl)
+    )
+    pred = -(g_dot_dx + 0.5 * dxHdx)
+    return dx, grad_norm, pred
+
+
+def _masked_aux_blocks(problem, state, dtype):
+    """Sun + prior pose blocks with gauge masking applied."""
+    Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
+    free_pose = (~problem.fixed_pose_mask).astype(dtype)
+    return Hpp_aux * free_pose[:, None, None], gp_aux * free_pose[:, None]
+
+
+def window_step(layout: WindowLayout, state: dense.BAState, lam: jnp.ndarray):
+    """One damped LM linear solve, scatter-free (pure XLA — any backend).
+
+    Returns ``(dx [6K+3J], grad_norm, pred_decrease)`` for the shared LM
+    core — drop-in for `pcg.pcg_step` / `schur.schur_step`.
+    """
+    problem = layout.problem
+    st = problem.stereo
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    O = st.uvd.shape[0] // J  # static (layout.O may be traced under jit)
+    dtype = state.poses.dtype
+    onehot = layout.onehot.astype(dtype)
+
+    # --- factor evaluation (whitened residuals + tangent Jacobians)
+    r, J_pose, J_pt = factors.stereo_reprojection(
+        problem.camera, state.poses[st.pose_idx], state.points[st.point_idx],
+        st.uvd, st.stiffness,
+    )
+    v = (st.valid & problem.point_valid[st.point_idx]).astype(dtype)
+    wp = (~problem.fixed_pose_mask[st.pose_idx]).astype(dtype)
+    r = r * v[:, None]
+    J_pose = J_pose * (v * wp)[:, None, None]
+    J_pt = J_pt * v[:, None, None]
+
+    # --- landmark side: contiguous reshape-sums (no segment scatter)
+    Hll = jnp.einsum("nri,nrj->nij", J_pt, J_pt).reshape(J, O, 3, 3).sum(1)
+    gl = jnp.einsum("nri,nr->ni", J_pt, r).reshape(J, O, 3).sum(1)
+    U_jo = jnp.einsum("nri,nrj->nij", J_pose, J_pt).reshape(J, O, 18)
+
+    # --- pose side: one-hot MXU reductions
+    Hpp_c = jnp.einsum("nri,nrj->nij", J_pose, J_pose).reshape(-1, 36)
+    gp_c = jnp.einsum("nri,nr->ni", J_pose, r)
+    pose_red = jnp.dot(onehot.T, jnp.concatenate([Hpp_c, gp_c], axis=1),
+                       preferred_element_type=dtype)  # [K, 42]
+    Hpp = pose_red[:, :36].reshape(K, 6, 6)
+    gp = pose_red[:, 36:]
+
+    Hpp_aux, gp_aux = _masked_aux_blocks(problem, state, dtype)
+    return _schur_solve(
+        problem, Hpp + Hpp_aux, Hll, U_jo, gp + gp_aux, gl,
+        layout.onehot_jok.astype(dtype), lam,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused path: Pallas factor kernel + block-carrying LM loop
+# ---------------------------------------------------------------------------
+
+
+class _FusedBlocks(NamedTuple):
+    Hpp: jnp.ndarray  # [K, 6, 6] stereo-only (aux added at solve time)
+    Hll: jnp.ndarray  # [J, 3, 3]
+    U_jo: jnp.ndarray  # [J, O, 18]
+    gp: jnp.ndarray  # [K, 6]
+    gl: jnp.ndarray  # [J, 3]
+    stereo_cost: jnp.ndarray  # []
+
+
+def _fused_blocks(layout: WindowLayout, state: dense.BAState,
+                  interpret: bool) -> _FusedBlocks:
+    """One Pallas factor pass -> reduced block system + stereo cost."""
+    problem = layout.problem
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    M_pad = layout.onehotT.shape[1]
+    O = layout.problem.stereo.uvd.shape[0] // J  # static
+    dtype = jnp.float32
+
+    # per-observation landmark positions: broadcast (landmark-grouped!)
+    pT = jnp.broadcast_to(
+        state.points.T.astype(dtype)[:, :, None], (3, J, O)
+    ).reshape(3, J * O)
+    pT = jnp.pad(pT, ((0, 0), (0, M_pad - J * O)))
+
+    hll, u, gl, hppgp = pallas_kernels.window_factor_blocks(
+        problem.camera,
+        state.poses.T.astype(dtype),
+        layout.onehotT,
+        pT,
+        layout.uvdT,
+        layout.stiffT,
+        layout.weightT,
+        layout.pose_freeT,
+        interpret=interpret,
+    )
+    M = J * O
+    Hll = hll[:, :M].reshape(9, J, O).sum(-1).T.reshape(J, 3, 3)
+    gl_r = gl[:, :M].reshape(3, J, O).sum(-1).T
+    U_jo = u[:, :M].T.reshape(J, O, 18)
+    Hpp = hppgp[:36].T.reshape(K, 6, 6)
+    gp = hppgp[36:42].T
+    return _FusedBlocks(Hpp=Hpp, Hll=Hll, U_jo=U_jo, gp=gp, gl=gl_r,
+                        stereo_cost=jnp.sum(hppgp[42]))
+
+
+def solve_ba_window(
+    problem: dense.StereoBAProblem,
+    state0: dense.BAState,
+    config: lm.SolveConfig = lm.SolveConfig(),
+    fused: bool | None = None,
+):
+    """LM with the scatter-free explicit-Schur window step.
+
+    Builds the static landmark-grouped layout on the host (observation
+    structure must be concrete), then runs the whole LM loop jitted.
+    Intended for K <= ~128 (S is 6K x 6K dense); use `pcg.solve_ba_pcg`
+    beyond that.
+
+    ``fused=None`` auto-selects the Pallas mega-kernel path on TPU for
+    float32 problems (the latency-optimized configuration: ONE factor
+    kernel per LM iteration) and the pure-XLA step elsewhere.
+    """
+    K = state0.poses.shape[0]
+    J = state0.points.shape[0]
+    layout = build_window_layout(problem, K, J)
+    if fused is None:
+        fused = (
+            jax.devices()[0].platform == "tpu"
+            and state0.poses.dtype == jnp.float32
+        )
+    if fused:
+        interpret = jax.devices()[0].platform != "tpu"
+        return _solve_fused_jit(layout, problem, state0, config, interpret)
+    return _solve_jit(layout, problem, state0, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _solve_jit(layout, problem, state0, config):
+    return lm.lm_solve(
+        state0,
+        config,
+        lambda s: dense.ba_cost(problem, s),
+        lambda s, lam: window_step(layout, s, lam),
+        lambda s, dx: dense._retract_state(problem, s, dx),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "interpret"))
+def _solve_fused_jit(layout, problem, state0, config, interpret):
+    """Block-carrying LM loop: ONE fused factor pass per iteration.
+
+    The candidate state's factor pass yields both its cost (accept test)
+    and, on acceptance, the next iteration's normal equations — halving
+    the per-iteration factor work relative to the generic lm_solve
+    structure (which evaluates step and cost separately).
+    """
+    dtype = jnp.float32
+    onehot_jok = layout.onehot_jok.astype(dtype)
+
+    def total_blocks(state):
+        b = _fused_blocks(layout, state, interpret)
+        aux_cost = dense.ba_cost_aux(problem, state).astype(dtype)
+        return b, b.stereo_cost + aux_cost
+
+    blocks0, cost0 = total_blocks(state0)
+
+    class Carry(NamedTuple):
+        state: dense.BAState
+        blocks: _FusedBlocks
+        lam: jnp.ndarray
+        cost: jnp.ndarray
+        grad_norm: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    def cond(c):
+        return (~c.done) & (c.it < config.max_iters)
+
+    def body(c):
+        Hpp_aux, gp_aux = _masked_aux_blocks(problem, c.state, dtype)
+        dx, grad_norm, pred = _schur_solve(
+            problem, c.blocks.Hpp + Hpp_aux, c.blocks.Hll, c.blocks.U_jo,
+            c.blocks.gp + gp_aux, c.blocks.gl, onehot_jok, c.lam,
+        )
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        new_state = dense._retract_state(problem, c.state, dx)
+        new_blocks, new_cost = total_blocks(new_state)
+
+        actual = c.cost - new_cost
+        rho = actual / jnp.maximum(pred, 1e-30)
+        accept = jnp.isfinite(new_cost) & (new_cost < c.cost)
+        lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam_down, config.min_lambda),
+            jnp.minimum(c.lam * 4.0, config.max_lambda),
+        )
+        state = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), new_state, c.state)
+        blocks = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), new_blocks, c.blocks)
+        cost = jnp.where(accept, new_cost, c.cost)
+        small = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        done = (
+            small
+            | (grad_norm <= config.gtol)
+            | (jnp.max(jnp.abs(dx)) <= 1e-14)
+            | (c.lam >= config.max_lambda)
+        )
+        return Carry(state, blocks, lam, cost, grad_norm, c.it + 1, done)
+
+    init = Carry(
+        state=state0,
+        blocks=blocks0,
+        lam=jnp.asarray(config.init_lambda, dtype),
+        cost=cost0,
+        grad_norm=jnp.asarray(jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.state, lm.SolveSummary(
+        iterations=out.it,
+        initial_cost=cost0,
+        final_cost=out.cost,
+        final_grad_norm=out.grad_norm,
+        final_lambda=out.lam,
+    )

@@ -21,7 +21,7 @@ from ceres_slam_tpu.ops.pallas_kernels import stereo_factor_blocks
 from ceres_slam_tpu.solver import dense, pcg
 
 REPS = 3
-LOOP = 30
+LOOP = 300
 K, J, N = 64, 2048, 16384
 
 
@@ -52,6 +52,11 @@ def main():
     st = problem.stereo
     dtype = jnp.float32
     res = {}
+
+    # relay-roundtrip baseline: empty chained loop, same REPS*LOOP
+    def f_empty(eps):
+        return eps * 1.0
+    res["empty_us"] = round(1e6 * timeit(chained(f_empty), jnp.asarray(1.0, dtype)), 1)
 
     def perturbed(eps):
         return state._replace(poses=state.poses + eps * 0.0)
