@@ -130,6 +130,42 @@ def measure_ransac(dtype) -> float:
     return reps * FUSED * RANSAC_ITERS * RANSAC_N / dt
 
 
+def measure_matching(dtype) -> float:
+    """Stereo descriptor-matching throughput (pair similarity scores/s):
+    cross-checked NN matching of 1024x1024 patch descriptors (D=128), the
+    MXU replacement for the ROS node's BFMatcher cross-check
+    (sparse_stereo_odometry_node.cpp:144-148). 50 frames fused per call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ceres_slam_tpu.frontend import features
+
+    N, D, FUSED = 1024, 128, 50
+    rng = np.random.default_rng(1)
+    desc_a = jnp.asarray(rng.normal(size=(N, D)), dtype)
+    desc_b = jnp.asarray(rng.normal(size=(N, D)), dtype)
+    valid = jnp.ones(N, bool)
+
+    @jax.jit
+    def run(da):
+        def body(i, acc):
+            idx, ok = features.match_descriptors(
+                da + 0.001 * i, desc_b, valid, valid
+            )
+            return acc + jnp.sum(ok.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, FUSED, body, jnp.asarray(0, jnp.int32))
+
+    _sync(run(desc_a))
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        c = run(desc_a)
+    _sync(c)
+    return reps * FUSED * N * N / (time.perf_counter() - t0)
+
+
 def main():
     if "--backend-probe" in sys.argv:
         import jax
@@ -146,6 +182,7 @@ def main():
     platform = jax.devices()[0].platform
     lm = measure_lm(jnp.float32)
     ransac = measure_ransac(jnp.float32)
+    matching = measure_matching(jnp.float32)
 
     try:
         env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -173,6 +210,7 @@ def main():
                 "problem": {"K": K, "J": J, "n_obs": N_OBS, "dof": 6 * K + 3 * J},
                 "cpu_lm_iters_per_s": round(cpu_lm, 3) if cpu_lm == cpu_lm else None,
                 "ransac_point_hypotheses_per_s": round(ransac, 1),
+                "matching_pair_scores_per_s": round(matching, 1),
             }
         )
     )

@@ -81,7 +81,8 @@ def lm_solve(
 
     def body(c: _Carry):
         dx, grad_norm, pred_decrease = step_fn(c.state, c.lam)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx_ok = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(dx_ok, dx, jnp.zeros_like(dx))
 
         new_state = retract_fn(c.state, dx)
         new_cost = cost_fn(new_state)
@@ -108,10 +109,12 @@ def lm_solve(
         small_decrease = accept & (
             actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
         )
+        # A failed linear solve (non-finite dx, zeroed above) is NOT
+        # convergence — the rejected step raises lambda and we retry.
         done = (
             small_decrease
             | (grad_norm <= config.gtol)
-            | (jnp.max(jnp.abs(dx)) <= 1e-14)
+            | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
         history = c.history

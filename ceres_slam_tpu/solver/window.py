@@ -195,8 +195,15 @@ def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
     S = S.reshape(K, 6, K, 6) + jnp.eye(K, dtype=dtype)[:, None, :, None] * Hpp_d[:, :, None, :]
     S = S.reshape(6 * K, 6 * K)
     rhs = -(gp.reshape(-1) - WCf @ gl.reshape(-1))
-    L, low = jax.scipy.linalg.cho_factor(S, lower=True)
-    dp = jax.scipy.linalg.cho_solve((L, low), rhs)
+    # Symmetric Jacobi equilibration: S spans ~8 orders of magnitude at
+    # KITTI scales, past float32 Cholesky's reach. D^-1/2 S D^-1/2 has
+    # unit diagonal (condition ~ its off-diagonal coupling only), so the
+    # factorization survives in f32; the solution is rescaled exactly.
+    d = jnp.diagonal(S)
+    s = jax.lax.rsqrt(jnp.clip(d, 1e-30, jnp.inf))
+    S_eq = S * (s[:, None] * s[None, :])
+    L, low = jax.scipy.linalg.cho_factor(S_eq, lower=True)
+    dp = s * jax.scipy.linalg.cho_solve((L, low), s * rhs)
 
     Wt_dp = (Wf.T @ dp).reshape(J, 3)
     dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp)
@@ -397,7 +404,8 @@ def _solve_fused_jit(layout, problem, state0, config, interpret):
             problem, c.blocks.Hpp + Hpp_aux, c.blocks.Hll, c.blocks.U_jo,
             c.blocks.gp + gp_aux, c.blocks.gl, onehot_jok, c.lam,
         )
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx_ok = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(dx_ok, dx, jnp.zeros_like(dx))
         new_state = dense._retract_state(problem, c.state, dx)
         new_blocks, new_cost = total_blocks(new_state)
 
@@ -416,10 +424,11 @@ def _solve_fused_jit(layout, problem, state0, config, interpret):
             lambda n, o: jnp.where(accept, n, o), new_blocks, c.blocks)
         cost = jnp.where(accept, new_cost, c.cost)
         small = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        # failed linear solve (dx zeroed) is a rejected step, not convergence
         done = (
             small
             | (grad_norm <= config.gtol)
-            | (jnp.max(jnp.abs(dx)) <= 1e-14)
+            | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
         return Carry(state, blocks, lam, cost, grad_norm, c.it + 1, done)
