@@ -22,6 +22,7 @@ METHODS=(gtsun0 gtsun10 gtsun20 gtsun30 starscnn suncnn lalonde lalondevo)
 for ((i = 0; i < ${#DRIVES[@]}; ++i)); do
     base="$DATA_DIR/${DATES[i]}_drive_${DRIVES[i]}"
     [ -f "${base}.csv" ] || continue
+    first_method=1
     for method in "${METHODS[@]}"; do
         obs="${base}_sun_dir_${method}.csv"
         [ -f "$obs" ] || continue
@@ -31,9 +32,21 @@ for ((i = 0; i < ${#DRIVES[@]}; ++i)); do
             gtsun*) huber=0 ;;
             *) huber="${HUBER_PARAMS[i]}" ;;
         esac
+        # The Lalonde predictions are UTC+1, so they are evaluated against
+        # a timezone-shifted ephemeris file (reference :87-93). Staging
+        # name: <base>_sun_ref_utc+1.csv (falls back if absent).
+        ref="${base}_sun_ref.csv"
+        case "$method" in
+            lalonde*) [ -f "${base}_sun_ref_utc+1.csv" ] && ref="${base}_sun_ref_utc+1.csv" ;;
+        esac
+        # The VO-only pass is identical for every method; run it once per
+        # drive and pass --sun-only afterwards (reference :96-100).
+        extra=()
+        [ "$first_method" = 1 ] || extra+=(--sun-only)
+        first_method=0
         echo "=== ${DATES[i]}_drive_${DRIVES[i]} $method (huber $huber) ==="
         python -m ceres_slam_tpu.apps.dataset_vo_sun \
-            "${base}.csv" "${base}_sun_ref.csv" "$obs" \
-            --window "$WINDOW" --huber-param "$huber"
+            "${base}.csv" "$ref" "$obs" \
+            --window "$WINDOW" --huber-param "$huber" "${extra[@]}"
     done
 done

@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 
 import bench
-import __graft_entry__ as ge
-from ceres_slam_tpu.solver import dense, lm, pcg, window
+from ceres_slam_tpu.solver import lm, window
 
 REPS = 3
 ITERS = bench.LOOP_ITERS  # 50
@@ -42,20 +41,29 @@ def main():
     cfg = lm.SolveConfig(max_iters=ITERS, ftol=0.0, gtol=0.0)
     layout = window.build_window_layout(problem, bench.K, bench.J)
 
+    # Mirror the production dispatch (window.py): Pallas compiled on TPU,
+    # interpret mode elsewhere.
+    interpret = jax.devices()[0].platform != "tpu"
+
     def run_fused():
-        return window._solve_fused_jit(layout, problem, state, cfg, False)
+        return window._solve_fused_jit(layout, problem, state, cfg, interpret)
 
     sol, summary = run_fused()
-    res["fused_iters"] = int(summary.iterations)
+    fused_iters = max(1, int(summary.iterations))
+    res["fused_iters"] = fused_iters
     res["fused_final_cost"] = float(summary.final_cost)
-    res["fused_it_s"] = round(ITERS / timed(run_fused), 1)
+    # Rate from the iterations the solver actually ran (it may terminate
+    # early on its done conditions), not the configured budget.
+    res["fused_it_s"] = round(fused_iters / timed(run_fused), 1)
 
     def run_xla():
         return window._solve_jit(layout, problem, state, cfg)
 
     sol, summary = run_xla()
+    xla_iters = max(1, int(summary.iterations))
+    res["xla_iters"] = xla_iters
     res["xla_final_cost"] = float(summary.final_cost)
-    res["xla_it_s"] = round(ITERS / timed(run_xla), 1)
+    res["xla_it_s"] = round(xla_iters / timed(run_xla), 1)
     print(json.dumps(res), flush=True)
 
 
