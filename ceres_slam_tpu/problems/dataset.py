@@ -27,6 +27,7 @@ from ceres_slam_tpu.frontend import alignment
 from ceres_slam_tpu.models.stereo_camera import StereoCamera
 from ceres_slam_tpu.ops import factors, lie
 from ceres_slam_tpu.solver import dense
+from ceres_slam_tpu.solver import window as window_mod
 from ceres_slam_tpu.utils import csvio, se3np
 
 
@@ -525,8 +526,13 @@ class DatasetProblemSun(DatasetProblem):
                     zen_err_thresh=zen_err_thresh,
                     gauge_fix_first=False,
                 )
-                sol, summary, cov = dense.solve_ba_with_covariance(
-                    problem, state, jnp.asarray(1), config
+                # Scatter-free Schur window solver + covariance in one
+                # device call (solver/window.py): the reduced S is 6K x 6K
+                # (12 x 12 at the default window) vs the dense path's
+                # [6K+3J]^2 factorization; on TPU/f32 it dispatches the
+                # fused Pallas factor kernel.
+                sol, summary, cov = window_mod.solve_ba_window_with_covariance(
+                    problem, state, 1, config
                 )
                 self.absorb_window_solution(k1, k2, sol, slots)
                 cov = np.asarray(cov)

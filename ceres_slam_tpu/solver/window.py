@@ -148,11 +148,14 @@ def build_window_layout(problem: dense.StereoBAProblem, K: int, J: int) -> Windo
     )
 
 
-def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
-    """Shared scatter-free Schur elimination from block inputs.
+def _schur_reduce(Hpp, Hll, U_jo, onehot_jok, lam):
+    """Pin empty diagonals, apply LM damping, eliminate the landmark
+    blocks. Returns the reduced camera system and the pieces the solve /
+    covariance paths share:
 
-    ``U_jo [J, O, 18]`` already carries validity/gauge masking. Returns
-    (dx, grad_norm, pred_decrease)."""
+    ``(S [6K,6K], Cinv [J,3,3], Wf [6K,3J], WCf [6K,3J],
+       Hpp_pinned, Hll_pinned)``.
+    """
     K = Hpp.shape[0]
     J = Hll.shape[0]
     dtype = Hpp.dtype
@@ -194,16 +197,60 @@ def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
     S = -jnp.dot(WCf, Wf.T, preferred_element_type=dtype)
     S = S.reshape(K, 6, K, 6) + jnp.eye(K, dtype=dtype)[:, None, :, None] * Hpp_d[:, :, None, :]
     S = S.reshape(6 * K, 6 * K)
-    rhs = -(gp.reshape(-1) - WCf @ gl.reshape(-1))
-    # Symmetric Jacobi equilibration: S spans ~8 orders of magnitude at
-    # KITTI scales, past float32 Cholesky's reach. D^-1/2 S D^-1/2 has
-    # unit diagonal (condition ~ its off-diagonal coupling only), so the
-    # factorization survives in f32; the solution is rescaled exactly.
+    return S, Cinv, Wf, WCf, Hpp, Hll_p
+
+
+def _equilibrated_cho(S):
+    """Symmetric Jacobi equilibration + Cholesky: S spans ~8 orders of
+    magnitude at KITTI scales, past float32 Cholesky's reach.
+    D^-1/2 S D^-1/2 has unit diagonal (condition ~ its off-diagonal
+    coupling only), so the factorization survives in f32; solutions are
+    rescaled exactly. Returns ``(solve_fn, s)`` with
+    ``solve_fn(b) = S^{-1} b`` (b may be a matrix of columns)."""
     d = jnp.diagonal(S)
     s = jax.lax.rsqrt(jnp.clip(d, 1e-30, jnp.inf))
     S_eq = S * (s[:, None] * s[None, :])
     L, low = jax.scipy.linalg.cho_factor(S_eq, lower=True)
-    dp = s * jax.scipy.linalg.cho_solve((L, low), s * rhs)
+
+    def solve(b):
+        scaled = b * (s[:, None] if b.ndim == 2 else s)
+        x = jax.scipy.linalg.cho_solve((L, low), scaled)
+        return x * (s[:, None] if b.ndim == 2 else s)
+
+    return solve, s
+
+
+def pose_marginal_covariance(Hpp, Hll, U_jo, onehot_jok, pose_idx):
+    """6x6 tangent marginal covariance of pose ``pose_idx`` from the
+    block system — the Schur-reduced equivalent of
+    `dense.pose_tangent_covariance` (ceres::Covariance::
+    GetCovarianceBlockInTangentSpace, tests/dataset_vo_sun.cpp:159-183):
+    for H = [[Hpp, W], [W^T, Hll]], the pose-block marginal of H^{-1} is
+    (S^{-1})_{kk} with S the UNDAMPED reduced camera matrix."""
+    K = Hpp.shape[0]
+    dtype = Hpp.dtype
+    S, *_ = _schur_reduce(Hpp, Hll, U_jo, onehot_jok, jnp.asarray(0.0, dtype))
+    solve, _ = _equilibrated_cho(S)
+    base = 6 * jnp.asarray(pose_idx, jnp.int32)
+    zero = jnp.asarray(0, jnp.int32)
+    E = jax.lax.dynamic_update_slice(
+        jnp.zeros((6 * K, 6), dtype), jnp.eye(6, dtype=dtype), (base, zero)
+    )
+    X = solve(E)
+    return jax.lax.dynamic_slice(X, (base, zero), (6, 6))
+
+
+def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
+    """Shared scatter-free Schur elimination from block inputs.
+
+    ``U_jo [J, O, 18]`` already carries validity/gauge masking. Returns
+    (dx, grad_norm, pred_decrease)."""
+    K = Hpp.shape[0]
+    J = Hll.shape[0]
+    S, Cinv, Wf, WCf, Hpp, Hll_p = _schur_reduce(Hpp, Hll, U_jo, onehot_jok, lam)
+    rhs = -(gp.reshape(-1) - WCf @ gl.reshape(-1))
+    solve, _ = _equilibrated_cho(S)
+    dp = solve(rhs)
 
     Wt_dp = (Wf.T @ dp).reshape(J, 3)
     dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp)
@@ -222,6 +269,18 @@ def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
     return dx, grad_norm, pred
 
 
+class _FusedBlocks(NamedTuple):
+    """Reduced block system from one factor pass (stereo contributions
+    only — aux sun/prior blocks are added at solve time)."""
+
+    Hpp: jnp.ndarray  # [K, 6, 6]
+    Hll: jnp.ndarray  # [J, 3, 3]
+    U_jo: jnp.ndarray  # [J, O, 18]
+    gp: jnp.ndarray  # [K, 6]
+    gl: jnp.ndarray  # [J, 3]
+    stereo_cost: jnp.ndarray  # []
+
+
 def _masked_aux_blocks(problem, state, dtype):
     """Sun + prior pose blocks with gauge masking applied."""
     Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
@@ -229,12 +288,12 @@ def _masked_aux_blocks(problem, state, dtype):
     return Hpp_aux * free_pose[:, None, None], gp_aux * free_pose[:, None]
 
 
-def window_step(layout: WindowLayout, state: dense.BAState, lam: jnp.ndarray):
-    """One damped LM linear solve, scatter-free (pure XLA — any backend).
+def _xla_blocks(layout: WindowLayout, state: dense.BAState):
+    """Stereo block system from the landmark-grouped layout (pure XLA).
 
-    Returns ``(dx [6K+3J], grad_norm, pred_decrease)`` for the shared LM
-    core — drop-in for `pcg.pcg_step` / `schur.schur_step`.
-    """
+    Returns ``(Hpp [K,6,6], Hll [J,3,3], U_jo [J,O,18], gp [K,6],
+    gl [J,3])`` — stereo contributions only (aux blocks added by the
+    caller), with validity/gauge masking already applied."""
     problem = layout.problem
     st = problem.stereo
     K = state.poses.shape[0]
@@ -266,26 +325,45 @@ def window_step(layout: WindowLayout, state: dense.BAState, lam: jnp.ndarray):
                        preferred_element_type=dtype)  # [K, 42]
     Hpp = pose_red[:, :36].reshape(K, 6, 6)
     gp = pose_red[:, 36:]
+    stereo_cost = 0.5 * jnp.sum(r * r)
+    return _FusedBlocks(
+        Hpp=Hpp, Hll=Hll, U_jo=U_jo, gp=gp, gl=gl, stereo_cost=stereo_cost
+    )
 
+
+def window_step(layout: WindowLayout, state: dense.BAState, lam: jnp.ndarray):
+    """One damped LM linear solve, scatter-free (pure XLA — any backend).
+
+    Returns ``(dx [6K+3J], grad_norm, pred_decrease)`` for the shared LM
+    core — drop-in for `pcg.pcg_step` / `schur.schur_step`.
+    """
+    problem = layout.problem
+    dtype = state.poses.dtype
+    b = _xla_blocks(layout, state)
     Hpp_aux, gp_aux = _masked_aux_blocks(problem, state, dtype)
     return _schur_solve(
-        problem, Hpp + Hpp_aux, Hll, U_jo, gp + gp_aux, gl,
+        problem, b.Hpp + Hpp_aux, b.Hll, b.U_jo, b.gp + gp_aux, b.gl,
         layout.onehot_jok.astype(dtype), lam,
+    )
+
+
+def window_marginal_covariance(
+    layout: WindowLayout, state: dense.BAState, pose_idx
+) -> jnp.ndarray:
+    """6x6 tangent marginal covariance of one pose at ``state`` via the
+    scatter-free block system (exact same value as
+    `dense.pose_tangent_covariance`, computed without materializing H)."""
+    dtype = state.poses.dtype
+    b = _xla_blocks(layout, state)
+    Hpp_aux, _ = _masked_aux_blocks(layout.problem, state, dtype)
+    return pose_marginal_covariance(
+        b.Hpp + Hpp_aux, b.Hll, b.U_jo, layout.onehot_jok.astype(dtype), pose_idx
     )
 
 
 # ---------------------------------------------------------------------------
 # Fused path: Pallas factor kernel + block-carrying LM loop
 # ---------------------------------------------------------------------------
-
-
-class _FusedBlocks(NamedTuple):
-    Hpp: jnp.ndarray  # [K, 6, 6] stereo-only (aux added at solve time)
-    Hll: jnp.ndarray  # [J, 3, 3]
-    U_jo: jnp.ndarray  # [J, O, 18]
-    gp: jnp.ndarray  # [K, 6]
-    gl: jnp.ndarray  # [J, 3]
-    stereo_cost: jnp.ndarray  # []
 
 
 def _fused_blocks(layout: WindowLayout, state: dense.BAState,
@@ -356,6 +434,40 @@ def solve_ba_window(
     return _solve_jit(layout, problem, state0, config)
 
 
+def _use_fused(state0) -> bool:
+    return (
+        jax.devices()[0].platform == "tpu"
+        and state0.poses.dtype == jnp.float32
+    )
+
+
+def solve_ba_window_with_covariance(
+    problem: dense.StereoBAProblem,
+    state0: dense.BAState,
+    pose_idx,
+    config: lm.SolveConfig = lm.SolveConfig(),
+    fused: bool | None = None,
+):
+    """Window solve + tangent marginal covariance of pose ``pose_idx`` in
+    ONE device call — the sliding-window prior-chain engine
+    (tests/dataset_vo_sun.cpp:159-183), built on the scatter-free Schur
+    system instead of the dense H of `dense.solve_ba_with_covariance`
+    (the reduced S is 6K x 6K = 12 x 12 at the flagship window size vs a
+    dense [6K+3J]^2 factorization)."""
+    K = state0.poses.shape[0]
+    J = state0.points.shape[0]
+    layout = build_window_layout(problem, K, J)
+    pose_idx = jnp.asarray(pose_idx, jnp.int32)
+    if fused is None:
+        fused = _use_fused(state0)
+    if fused:
+        interpret = jax.devices()[0].platform != "tpu"
+        return _solve_fused_cov_jit(
+            layout, problem, state0, pose_idx, config, interpret
+        )
+    return _solve_cov_jit(layout, problem, state0, pose_idx, config)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _solve_jit(layout, problem, state0, config):
     return lm.lm_solve(
@@ -367,15 +479,41 @@ def _solve_jit(layout, problem, state0, config):
     )
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _solve_cov_jit(layout, problem, state0, pose_idx, config):
+    sol, summary = lm.lm_solve(
+        state0,
+        config,
+        lambda s: dense.ba_cost(problem, s),
+        lambda s, lam: window_step(layout, s, lam),
+        lambda s, dx: dense._retract_state(problem, s, dx),
+    )
+    cov = window_marginal_covariance(layout, sol, pose_idx)
+    return sol, summary, cov
+
+
+@partial(jax.jit, static_argnames=("config", "interpret"))
+def _solve_fused_cov_jit(layout, problem, state0, pose_idx, config, interpret):
+    """Fused LM loop + covariance from its final carried blocks (the
+    accepted state's factor pass already produced them — the covariance
+    costs one extra 12x12-scale Schur reduce, no factor re-evaluation)."""
+    state, summary, blocks = _fused_loop(layout, problem, state0, config, interpret)
+    dtype = jnp.float32
+    Hpp_aux, _ = _masked_aux_blocks(problem, state, dtype)
+    cov = pose_marginal_covariance(
+        blocks.Hpp + Hpp_aux, blocks.Hll, blocks.U_jo,
+        layout.onehot_jok.astype(dtype), pose_idx,
+    )
+    return state, summary, cov
+
+
 @partial(jax.jit, static_argnames=("config", "interpret"))
 def _solve_fused_jit(layout, problem, state0, config, interpret):
-    """Block-carrying LM loop: ONE fused factor pass per iteration.
+    state, summary, _ = _fused_loop(layout, problem, state0, config, interpret)
+    return state, summary
 
-    The candidate state's factor pass yields both its cost (accept test)
-    and, on acceptance, the next iteration's normal equations — halving
-    the per-iteration factor work relative to the generic lm_solve
-    structure (which evaluates step and cost separately).
-    """
+
+def _fused_loop(layout, problem, state0, config, interpret):
     dtype = jnp.float32
     onehot_jok = layout.onehot_jok.astype(dtype)
 
@@ -384,7 +522,22 @@ def _solve_fused_jit(layout, problem, state0, config, interpret):
         aux_cost = dense.ba_cost_aux(problem, state).astype(dtype)
         return b, b.stereo_cost + aux_cost
 
+    return blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok)
+
+
+def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
+    """Block-carrying LM loop: ONE factor pass per iteration.
+
+    ``total_blocks(state) -> (_FusedBlocks, total_cost)`` evaluates the
+    factors once, yielding both the candidate's cost (accept test) and,
+    on acceptance, the next iteration's normal equations — halving the
+    per-iteration factor work relative to the generic lm_solve structure
+    (which evaluates step and cost separately). Shared by the Pallas
+    fused path and the scanned sliding-window pipeline. Returns
+    ``(state, summary, blocks_at_state)``.
+    """
     blocks0, cost0 = total_blocks(state0)
+    dtype = cost0.dtype
 
     class Carry(NamedTuple):
         state: dense.BAState
@@ -443,10 +596,11 @@ def _solve_fused_jit(layout, problem, state0, config, interpret):
         done=jnp.asarray(False),
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out.state, lm.SolveSummary(
+    summary = lm.SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
         final_cost=out.cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.lam,
     )
+    return out.state, summary, out.blocks

@@ -128,6 +128,65 @@ def test_fused_solve_matches_dense(small_problem):
     )
 
 
+def test_window_covariance_matches_dense(small_problem):
+    """Schur-reduced pose marginal == dense H^{-1} block
+    (ceres::Covariance::GetCovarianceBlockInTangentSpace parity)."""
+    problem, state = small_problem
+    layout = window.build_window_layout(problem, 8, 64)
+    for k in (0, 1, 7):
+        cov_ref = dense.pose_tangent_covariance(problem, state, jnp.asarray(k))
+        cov = window.window_marginal_covariance(layout, state, jnp.asarray(k))
+        scale = np.abs(np.asarray(cov_ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(cov), np.asarray(cov_ref), atol=1e-9 * scale
+        )
+
+
+def test_solve_with_covariance_matches_dense(small_problem):
+    """solve_ba_window_with_covariance == dense.solve_ba_with_covariance
+    (same minimum, same extracted prior covariance)."""
+    problem, state = small_problem
+    config = lm.SolveConfig(max_iters=50)
+    sol_d, sum_d, cov_d = dense.solve_ba_with_covariance(
+        problem, state, jnp.asarray(1), config
+    )
+    sol_w, sum_w, cov_w = window.solve_ba_window_with_covariance(
+        problem, state, 1, config
+    )
+    np.testing.assert_allclose(
+        float(sum_w.final_cost), float(sum_d.final_cost), rtol=1e-6
+    )
+    scale = np.abs(np.asarray(cov_d)).max()
+    np.testing.assert_allclose(
+        np.asarray(cov_w), np.asarray(cov_d), atol=1e-6 * scale
+    )
+
+
+def test_fused_solve_with_covariance(small_problem):
+    """Fused (Pallas interpret) solve+cov agrees with the f64 dense path."""
+    problem, state = small_problem
+    state32 = dense.BAState(
+        poses=state.poses.astype(jnp.float32), points=state.points.astype(jnp.float32)
+    )
+    problem32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x,
+        problem,
+    )
+    config = lm.SolveConfig(max_iters=40)
+    _, _, cov_d = dense.solve_ba_with_covariance(
+        problem, state, jnp.asarray(1), config
+    )
+    sol_f, sum_f, cov_f = window.solve_ba_window_with_covariance(
+        problem32, state32, 1, config, fused=True
+    )
+    assert np.all(np.isfinite(np.asarray(cov_f)))
+    scale = np.abs(np.asarray(cov_d)).max()
+    np.testing.assert_allclose(
+        np.asarray(cov_f), np.asarray(cov_d), atol=2e-3 * scale
+    )
+
+
 def test_step_matches_pcg(small_problem):
     problem, state = small_problem
     layout = window.build_window_layout(problem, 8, 64)
