@@ -40,5 +40,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         choices=[None, "cpu", "tpu", "axon"],
         help="JAX backend override (default: whatever is configured)",
     )
-    p.add_argument("--max-iters", type=int, default=100, help="max LM iterations per solve")
+    # reference iteration budget: max_num_iterations = 1000
+    # (tests/dataset_vo.cpp:69, dataset_vo_sun.cpp:140)
+    p.add_argument("--max-iters", type=int, default=1000,
+                   help="max trust-region iterations per solve")
     return p

@@ -33,8 +33,11 @@ def main(argv=None):
         f"{dataset.state_ids.size} observations",
         file=sys.stderr,
     )
+    # reference minimizer config: LM with nonmonotonic steps
+    # (tests/dataset_vo.cpp:69-72 — DOGLEG is commented out there)
     summaries = dataset.solve_full(
-        window=args.window, config=SolveConfig(max_iters=args.max_iters)
+        window=args.window,
+        config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True),
     )
     for i, s in enumerate(summaries):
         print(

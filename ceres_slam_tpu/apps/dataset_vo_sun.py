@@ -33,15 +33,24 @@ def main(argv=None):
     p.add_argument("--sun-only", action="store_true")
     p.add_argument("--dtype", default="float64", choices=["float64", "float32"],
                    help="solver dtype (float32 = fast TPU mode)")
+    p.add_argument("--strategy", default="dogleg", choices=["dogleg", "lm"],
+                   help="trust-region strategy (reference: DOGLEG/"
+                        "SUBSPACE_DOGLEG, tests/dataset_vo_sun.cpp:142-143)")
     args = p.parse_args(argv)
-    setup_jax(args.platform, x64=(args.dtype == "float64"))
+    # x64 stays enabled even in f32 mode: the state/factor path runs in
+    # f32 (fast TPU mode) while the window solver promotes only the tiny
+    # Schur reduce/factorize/covariance chain to f64
+    # (window._auto_schur_dtype) — the part the 1e-12 prior conditioning
+    # (dataset_problem_sun.cpp:80) actually needs.
+    setup_jax(args.platform, x64=True)
 
     from ceres_slam_tpu.problems.dataset import DatasetProblemSun
     from ceres_slam_tpu.solver.dense import SolveConfig
 
     az_thresh = args.az_err_thresh * math.pi / 180.0
     zen_thresh = args.zen_err_thresh * math.pi / 180.0
-    config = SolveConfig(max_iters=args.max_iters)
+    # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141)
+    config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True)
 
     dataset = DatasetProblemSun.read_csv(
         args.track_file, args.ref_sun_file, args.obs_sun_file
@@ -57,7 +66,8 @@ def main(argv=None):
     if not args.sun_only:
         print("Computing VO without sun measurements", file=sys.stderr)
         dataset.solve_sliding_window(
-            window=args.window, use_sun=False, config=config, progress=True
+            window=args.window, use_sun=False, config=config, progress=True,
+            strategy=args.strategy,
         )
         dataset.write_csv(args.track_file)
 
@@ -70,6 +80,7 @@ def main(argv=None):
         zen_err_thresh=zen_thresh,
         config=config,
         progress=True,
+        strategy=args.strategy,
     )
 
     # Output name: <track>_<last '_'-token of obs sun file> (:314-321)

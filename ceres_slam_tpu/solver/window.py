@@ -52,7 +52,7 @@ import numpy as np
 
 from ceres_slam_tpu.ops import factors
 from ceres_slam_tpu.ops import pallas_kernels
-from ceres_slam_tpu.solver import dense, lm
+from ceres_slam_tpu.solver import dense, dogleg, lm
 from ceres_slam_tpu.solver.schur import _inv3x3
 
 
@@ -182,19 +182,25 @@ def _schur_reduce(Hpp, Hll, U_jo, onehot_jok, lam):
         U4[..., b_, None] * Cinv[:, None, None, b_, :] for b_ in range(3)
     )  # [J, O, 6, 3]
 
-    # W / WC via batched one-hot contraction over the O slots
+    # W / WC via batched one-hot contraction over the O slots.
+    # precision=HIGHEST throughout: the TPU MXU default rounds f32 inputs
+    # to one bf16 pass — fatal for ill-conditioned reduced systems (the
+    # flagship's 1e-12-prior chain spans ~12 orders of magnitude).
+    HI = jax.lax.Precision.HIGHEST
+
     def contract(X):  # [J, O, 6, 3] -> [K*6, J*3]
         Wj = jax.lax.dot_general(
             onehot_jok, X.reshape(J, -1, 18),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=dtype,
+            precision=HI,
         )  # [J, K, 18]
         return Wj.reshape(J, K, 6, 3).transpose(1, 2, 0, 3).reshape(6 * K, 3 * J)
 
     Wf = contract(U4)
     WCf = contract(UC)
 
-    S = -jnp.dot(WCf, Wf.T, preferred_element_type=dtype)
+    S = -jnp.dot(WCf, Wf.T, preferred_element_type=dtype, precision=HI)
     S = S.reshape(K, 6, K, 6) + jnp.eye(K, dtype=dtype)[:, None, :, None] * Hpp_d[:, :, None, :]
     S = S.reshape(6 * K, 6 * K)
     return S, Cinv, Wf, WCf, Hpp, Hll_p
@@ -247,13 +253,14 @@ def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
     (dx, grad_norm, pred_decrease)."""
     K = Hpp.shape[0]
     J = Hll.shape[0]
+    HI = jax.lax.Precision.HIGHEST
     S, Cinv, Wf, WCf, Hpp, Hll_p = _schur_reduce(Hpp, Hll, U_jo, onehot_jok, lam)
-    rhs = -(gp.reshape(-1) - WCf @ gl.reshape(-1))
+    rhs = -(gp.reshape(-1) - jnp.dot(WCf, gl.reshape(-1), precision=HI))
     solve, _ = _equilibrated_cho(S)
     dp = solve(rhs)
 
-    Wt_dp = (Wf.T @ dp).reshape(J, 3)
-    dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp)
+    Wt_dp = jnp.dot(Wf.T, dp, precision=HI).reshape(J, 3)
+    dl = -jnp.einsum("jab,jb->ja", Cinv, gl + Wt_dp, precision=HI)
 
     dx = jnp.concatenate([dp, dl.reshape(-1)])
     grad_norm = jnp.maximum(jnp.max(jnp.abs(gp)), jnp.max(jnp.abs(gl)))
@@ -261,9 +268,10 @@ def _schur_solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
     dp_r = dp.reshape(K, 6)
     g_dot_dx = jnp.sum(gp * dp_r) + jnp.sum(gl * dl)
     dxHdx = (
-        jnp.einsum("ka,kab,kb->", dp_r, Hpp, dp_r)
-        + 2.0 * (dp @ (Wf @ dl.reshape(-1)))
-        + jnp.einsum("ja,jab,jb->", dl, Hll_p, dl)
+        jnp.einsum("ka,kab,kb->", dp_r, Hpp, dp_r, precision=HI)
+        + 2.0 * jnp.dot(dp, jnp.dot(Wf, dl.reshape(-1), precision=HI),
+                        precision=HI)
+        + jnp.einsum("ja,jab,jb->", dl, Hll_p, dl, precision=HI)
     )
     pred = -(g_dot_dx + 0.5 * dxHdx)
     return dx, grad_norm, pred
@@ -314,15 +322,20 @@ def _xla_blocks(layout: WindowLayout, state: dense.BAState):
     J_pt = J_pt * v[:, None, None]
 
     # --- landmark side: contiguous reshape-sums (no segment scatter)
-    Hll = jnp.einsum("nri,nrj->nij", J_pt, J_pt).reshape(J, O, 3, 3).sum(1)
-    gl = jnp.einsum("nri,nr->ni", J_pt, r).reshape(J, O, 3).sum(1)
-    U_jo = jnp.einsum("nri,nrj->nij", J_pose, J_pt).reshape(J, O, 18)
+    HI = jax.lax.Precision.HIGHEST
+    Hll = jnp.einsum("nri,nrj->nij", J_pt, J_pt,
+                     precision=HI).reshape(J, O, 3, 3).sum(1)
+    gl = jnp.einsum("nri,nr->ni", J_pt, r, precision=HI).reshape(J, O, 3).sum(1)
+    U_jo = jnp.einsum("nri,nrj->nij", J_pose, J_pt,
+                      precision=HI).reshape(J, O, 18)
 
-    # --- pose side: one-hot MXU reductions
-    Hpp_c = jnp.einsum("nri,nrj->nij", J_pose, J_pose).reshape(-1, 36)
-    gp_c = jnp.einsum("nri,nr->ni", J_pose, r)
+    # --- pose side: one-hot MXU reductions (HIGHEST: see _schur_reduce)
+    Hpp_c = jnp.einsum("nri,nrj->nij", J_pose, J_pose,
+                       precision=HI).reshape(-1, 36)
+    gp_c = jnp.einsum("nri,nr->ni", J_pose, r, precision=HI)
     pose_red = jnp.dot(onehot.T, jnp.concatenate([Hpp_c, gp_c], axis=1),
-                       preferred_element_type=dtype)  # [K, 42]
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)  # [K, 42]
     Hpp = pose_red[:, :36].reshape(K, 6, 6)
     gp = pose_red[:, 36:]
     stereo_cost = 0.5 * jnp.sum(r * r)
@@ -408,30 +421,30 @@ def solve_ba_window(
     state0: dense.BAState,
     config: lm.SolveConfig = lm.SolveConfig(),
     fused: bool | None = None,
+    strategy: str = "lm",
 ):
-    """LM with the scatter-free explicit-Schur window step.
+    """Trust-region solve with the scatter-free explicit-Schur window step.
 
     Builds the static landmark-grouped layout on the host (observation
-    structure must be concrete), then runs the whole LM loop jitted.
-    Intended for K <= ~128 (S is 6K x 6K dense); use `pcg.solve_ba_pcg`
-    beyond that.
+    structure must be concrete), then runs the whole minimizer loop
+    jitted. Intended for K <= ~128 (S is 6K x 6K dense); use
+    `pcg.solve_ba_pcg` beyond that.
 
     ``fused=None`` auto-selects the Pallas mega-kernel path on TPU for
     float32 problems (the latency-optimized configuration: ONE factor
-    kernel per LM iteration) and the pure-XLA step elsewhere.
+    kernel per iteration) and the pure-XLA step elsewhere.
+
+    ``strategy`` selects the trust-region strategy: ``"lm"`` (Levenberg-
+    Marquardt) or ``"dogleg"`` (SUBSPACE_DOGLEG, the reference flagship's
+    configuration — tests/dataset_vo_sun.cpp:142-143).
     """
     K = state0.poses.shape[0]
     J = state0.points.shape[0]
     layout = build_window_layout(problem, K, J)
     if fused is None:
-        fused = (
-            jax.devices()[0].platform == "tpu"
-            and state0.poses.dtype == jnp.float32
-        )
-    if fused:
-        interpret = jax.devices()[0].platform != "tpu"
-        return _solve_fused_jit(layout, problem, state0, config, interpret)
-    return _solve_jit(layout, problem, state0, config)
+        fused = _use_fused(state0)
+    interpret = jax.devices()[0].platform != "tpu"
+    return _solve_jit(layout, problem, state0, config, fused, interpret, strategy)
 
 
 def _use_fused(state0) -> bool:
@@ -447,6 +460,7 @@ def solve_ba_window_with_covariance(
     pose_idx,
     config: lm.SolveConfig = lm.SolveConfig(),
     fused: bool | None = None,
+    strategy: str = "lm",
 ):
     """Window solve + tangent marginal covariance of pose ``pose_idx`` in
     ONE device call — the sliding-window prior-chain engine
@@ -460,72 +474,110 @@ def solve_ba_window_with_covariance(
     pose_idx = jnp.asarray(pose_idx, jnp.int32)
     if fused is None:
         fused = _use_fused(state0)
-    if fused:
-        interpret = jax.devices()[0].platform != "tpu"
-        return _solve_fused_cov_jit(
-            layout, problem, state0, pose_idx, config, interpret
+    interpret = jax.devices()[0].platform != "tpu"
+    return _solve_cov_jit(
+        layout, problem, state0, pose_idx, config, fused, interpret, strategy
+    )
+
+
+def _auto_schur_dtype(state0) -> str:
+    """Mixed-precision policy: the factor evaluation (the FLOPs) stays in
+    the state dtype, but the Schur reduce/factorize/covariance — the
+    ill-conditioned part of the flagship's 1e-12-prior chain
+    (dataset_problem_sun.cpp:80) — is promoted to float64 whenever x64 is
+    available. At window scale the promoted ops are a few thousand
+    elements, so the cost is negligible even with emulated f64 on TPU."""
+    if state0.poses.dtype == jnp.float32 and jax.config.jax_enable_x64:
+        return "float64"
+    return "state"
+
+
+def _make_schur_solve(schur_dtype: str):
+    """`_schur_solve` optionally promoted to f64 (inputs up, outputs back)."""
+    if schur_dtype != "float64":
+        return _schur_solve
+
+    def solve(problem, Hpp, Hll, U_jo, gp, gl, onehot_jok, lam):
+        out_dtype = Hpp.dtype
+        f64 = jnp.float64
+        dx, gn, pred = _schur_solve(
+            problem, Hpp.astype(f64), Hll.astype(f64), U_jo.astype(f64),
+            gp.astype(f64), gl.astype(f64), onehot_jok.astype(f64),
+            lam.astype(f64),
         )
-    return _solve_cov_jit(layout, problem, state0, pose_idx, config)
+        return dx.astype(out_dtype), gn.astype(out_dtype), pred.astype(out_dtype)
+
+    return solve
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _solve_jit(layout, problem, state0, config):
-    return lm.lm_solve(
-        state0,
-        config,
-        lambda s: dense.ba_cost(problem, s),
-        lambda s, lam: window_step(layout, s, lam),
-        lambda s, dx: dense._retract_state(problem, s, dx),
+def _total_blocks_fn(layout, problem, fused: bool, interpret: bool):
+    """``state -> (blocks, total_cost)``: one factor pass (Pallas fused or
+    pure XLA) plus the cheap aux (sun/prior) cost terms."""
+    if fused:
+        def total(state):
+            b = _fused_blocks(layout, state, interpret)
+            return b, b.stereo_cost + dense.ba_cost_aux(problem, state).astype(
+                jnp.float32
+            )
+    else:
+        def total(state):
+            b = _xla_blocks(layout, state)
+            return b, b.stereo_cost + dense.ba_cost_aux(problem, state).astype(
+                b.stereo_cost.dtype
+            )
+    return total
+
+
+def _run_loop(layout, problem, state0, config, fused, interpret, strategy):
+    total_blocks = _total_blocks_fn(layout, problem, fused, interpret)
+    dtype = jnp.float32 if fused else state0.poses.dtype
+    onehot_jok = layout.onehot_jok.astype(dtype)
+    schur_solve = _make_schur_solve(_auto_schur_dtype(state0))
+    if strategy == "dogleg":
+        return dogleg.blocks_dogleg_loop(
+            problem, state0, config, total_blocks, onehot_jok, schur_solve
+        )
+    if strategy != "lm":
+        raise ValueError(f"unknown trust-region strategy: {strategy!r}")
+    return blocks_lm_loop(
+        problem, state0, config, total_blocks, onehot_jok, schur_solve
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _solve_cov_jit(layout, problem, state0, pose_idx, config):
-    sol, summary = lm.lm_solve(
-        state0,
-        config,
-        lambda s: dense.ba_cost(problem, s),
-        lambda s, lam: window_step(layout, s, lam),
-        lambda s, dx: dense._retract_state(problem, s, dx),
+@partial(jax.jit, static_argnames=("config", "fused", "interpret", "strategy"))
+def _solve_jit(layout, problem, state0, config, fused=False, interpret=True,
+               strategy="lm"):
+    state, summary, _ = _run_loop(
+        layout, problem, state0, config, fused, interpret, strategy
     )
-    cov = window_marginal_covariance(layout, sol, pose_idx)
-    return sol, summary, cov
-
-
-@partial(jax.jit, static_argnames=("config", "interpret"))
-def _solve_fused_cov_jit(layout, problem, state0, pose_idx, config, interpret):
-    """Fused LM loop + covariance from its final carried blocks (the
-    accepted state's factor pass already produced them — the covariance
-    costs one extra 12x12-scale Schur reduce, no factor re-evaluation)."""
-    state, summary, blocks = _fused_loop(layout, problem, state0, config, interpret)
-    dtype = jnp.float32
-    Hpp_aux, _ = _masked_aux_blocks(problem, state, dtype)
-    cov = pose_marginal_covariance(
-        blocks.Hpp + Hpp_aux, blocks.Hll, blocks.U_jo,
-        layout.onehot_jok.astype(dtype), pose_idx,
-    )
-    return state, summary, cov
-
-
-@partial(jax.jit, static_argnames=("config", "interpret"))
-def _solve_fused_jit(layout, problem, state0, config, interpret):
-    state, summary, _ = _fused_loop(layout, problem, state0, config, interpret)
     return state, summary
 
 
-def _fused_loop(layout, problem, state0, config, interpret):
-    dtype = jnp.float32
-    onehot_jok = layout.onehot_jok.astype(dtype)
+@partial(jax.jit, static_argnames=("config", "fused", "interpret", "strategy"))
+def _solve_cov_jit(layout, problem, state0, pose_idx, config, fused=False,
+                   interpret=True, strategy="lm"):
+    """Minimizer loop + covariance from its final carried blocks (the
+    accepted state's factor pass already produced them — the covariance
+    costs one extra 12x12-scale Schur reduce, no factor re-evaluation)."""
+    state, summary, blocks = _run_loop(
+        layout, problem, state0, config, fused, interpret, strategy
+    )
+    out_dtype = state.poses.dtype
+    # Covariance shares the Schur-chain promotion policy: the prior chain's
+    # 1e-12-init covariance (dataset_problem_sun.cpp:80) loses all digits in
+    # a f32 factorization, so extract the marginal in f64 when available.
+    dtype = (jnp.float64 if _auto_schur_dtype(state0) == "float64"
+             else out_dtype)
+    Hpp_aux, _ = _masked_aux_blocks(problem, state, dtype)
+    cov = pose_marginal_covariance(
+        blocks.Hpp.astype(dtype) + Hpp_aux, blocks.Hll.astype(dtype),
+        blocks.U_jo.astype(dtype), layout.onehot_jok.astype(dtype), pose_idx,
+    )
+    return state, summary, cov.astype(out_dtype)
 
-    def total_blocks(state):
-        b = _fused_blocks(layout, state, interpret)
-        aux_cost = dense.ba_cost_aux(problem, state).astype(dtype)
-        return b, b.stereo_cost + aux_cost
 
-    return blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok)
-
-
-def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
+def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
+                   schur_solve=_schur_solve):
     """Block-carrying LM loop: ONE factor pass per iteration.
 
     ``total_blocks(state) -> (_FusedBlocks, total_cost)`` evaluates the
@@ -547,13 +599,17 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
         grad_norm: jnp.ndarray
         it: jnp.ndarray
         done: jnp.ndarray
+        cost_buf: jnp.ndarray  # [window] recent accepted costs (nonmonotonic)
+        best_state: dense.BAState
+        best_blocks: _FusedBlocks
+        best_cost: jnp.ndarray
 
     def cond(c):
         return (~c.done) & (c.it < config.max_iters)
 
     def body(c):
         Hpp_aux, gp_aux = _masked_aux_blocks(problem, c.state, dtype)
-        dx, grad_norm, pred = _schur_solve(
+        dx, grad_norm, pred = schur_solve(
             problem, c.blocks.Hpp + Hpp_aux, c.blocks.Hll, c.blocks.U_jo,
             c.blocks.gp + gp_aux, c.blocks.gl, onehot_jok, c.lam,
         )
@@ -564,7 +620,8 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
 
         actual = c.cost - new_cost
         rho = actual / jnp.maximum(pred, 1e-30)
-        accept = jnp.isfinite(new_cost) & (new_cost < c.cost)
+        accept_ref = jnp.max(c.cost_buf) if config.nonmonotonic else c.cost
+        accept = jnp.isfinite(new_cost) & (new_cost < accept_ref)
         lam_down = c.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam = jnp.where(
             accept,
@@ -576,6 +633,17 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
         blocks = jax.tree.map(
             lambda n, o: jnp.where(accept, n, o), new_blocks, c.blocks)
         cost = jnp.where(accept, new_cost, c.cost)
+        cost_buf = jnp.where(
+            accept,
+            c.cost_buf.at[c.it % config.nonmonotonic_window].set(new_cost),
+            c.cost_buf,
+        )
+        better = accept & (new_cost < c.best_cost)
+        best_state = jax.tree.map(
+            lambda n, o: jnp.where(better, n, o), new_state, c.best_state)
+        best_blocks = jax.tree.map(
+            lambda n, o: jnp.where(better, n, o), new_blocks, c.best_blocks)
+        best_cost = jnp.where(better, new_cost, c.best_cost)
         small = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
         # failed linear solve (dx zeroed) is a rejected step, not convergence
         done = (
@@ -584,7 +652,8 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
-        return Carry(state, blocks, lam, cost, grad_norm, c.it + 1, done)
+        return Carry(state, blocks, lam, cost, grad_norm, c.it + 1, done,
+                     cost_buf, best_state, best_blocks, best_cost)
 
     init = Carry(
         state=state0,
@@ -594,13 +663,23 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok):
         grad_norm=jnp.asarray(jnp.inf, dtype),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        cost_buf=jnp.full((config.nonmonotonic_window,), cost0, dtype),
+        best_state=state0,
+        best_blocks=blocks0,
+        best_cost=cost0,
     )
     out = jax.lax.while_loop(cond, body, init)
+    # With nonmonotonic steps the final iterate can sit above the best
+    # accepted one; return the best with ITS blocks (covariance must
+    # linearize at the returned solution).
+    final_state = out.best_state if config.nonmonotonic else out.state
+    final_blocks = out.best_blocks if config.nonmonotonic else out.blocks
+    final_cost = out.best_cost if config.nonmonotonic else out.cost
     summary = lm.SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
-        final_cost=out.cost,
+        final_cost=final_cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.lam,
     )
-    return out.state, summary, out.blocks
+    return final_state, summary, final_blocks
