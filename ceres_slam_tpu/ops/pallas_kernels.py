@@ -203,8 +203,14 @@ def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
 
     # Gather the per-observation poses with an MXU one-hot matmul:
     # T_lanes [12, TILE] = posesT [12, K] @ onehot_tile [K, TILE].
+    # precision=HIGHEST is REQUIRED: the TPU default rounds f32 matmul
+    # inputs to one bf16 pass, and the camera-frame depth z = (R p + t)_z
+    # downstream is a cancellation of large terms — bf16-rounded poses
+    # make near-zero depths garbage and iz^2 amplifies them to ~1e20.
+    # With a 0/1 one-hot and 3-pass f32 the gather is exact.
     T_lanes = jnp.dot(posesT_ref[:, :], onehotT_ref[:, :],
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     t = [T_lanes[i_, :] for i_ in range(3)]
     R = [[T_lanes[3 + 3 * a + b_, :] for b_ in range(3)] for a in range(3)]
     p = [p_ref[i_, :] for i_ in range(3)]
@@ -248,6 +254,7 @@ def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
         contrib, onehotT_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [43, K]
 
     @pl.when(i == 0)

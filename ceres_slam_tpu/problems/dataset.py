@@ -59,17 +59,18 @@ class DatasetProblem:
     ransac_iters: int = 400
     ransac_thresh: float = 4.0
     rng_seed: int = 42
-    # Solver dtype: float64 (default; exact) or float32 (fast TPU mode —
-    # the covariance floor keeps the whitened prior conditioned in f32).
+    # Solver dtype: float64 (default; exact) or float32 (fast TPU mode).
+    # f32 needs no special conditioning: the window solver promotes the
+    # Schur reduce/factorize/covariance chain to f64 whenever x64 is
+    # enabled (window._auto_schur_dtype), so the 1e-12-prior chain
+    # (dataset_problem_sun.cpp:80) stays exact in both modes.
     dtype: str = "float64"
 
     @property
     def _dt(self):
         return jnp.dtype(self.dtype)
 
-    @property
-    def _covar_floor(self) -> float:
-        return 1e-12 if self.dtype == "float64" else 1e-8
+    _covar_floor: float = 1e-12
 
     # -- IO -----------------------------------------------------------------
 
@@ -482,6 +483,7 @@ class DatasetProblemSun(DatasetProblem):
         progress: bool = False,
         checkpoint: str | None = None,
         checkpoint_every: int = 25,
+        strategy: str = "dogleg",
     ):
         """One pass of the flagship pipeline (tests/dataset_vo_sun.cpp:265-312):
         per window — VO initial guess, window solve with a pose prior from
@@ -493,7 +495,11 @@ class DatasetProblemSun(DatasetProblem):
         state (poses, covariance chain, window index) is persisted every
         ``checkpoint_every`` windows and the pass resumes from the last
         checkpoint if one exists (a capability the reference lacks,
-        SURVEY.md §5.4)."""
+        SURVEY.md §5.4).
+
+        ``strategy`` selects the trust-region strategy per window solve;
+        the default matches the reference flagship (DOGLEG/SUBSPACE_DOGLEG,
+        tests/dataset_vo_sun.cpp:142-143)."""
         from ceres_slam_tpu.utils import checkpoint as ckpt_mod
 
         config = config or dense.SolveConfig(max_iters=100)
@@ -532,7 +538,7 @@ class DatasetProblemSun(DatasetProblem):
                 # [6K+3J]^2 factorization; on TPU/f32 it dispatches the
                 # fused Pallas factor kernel.
                 sol, summary, cov = window_mod.solve_ba_window_with_covariance(
-                    problem, state, 1, config
+                    problem, state, 1, config, strategy=strategy
                 )
                 self.absorb_window_solution(k1, k2, sol, slots)
                 cov = np.asarray(cov)

@@ -46,7 +46,7 @@ def main():
     interpret = jax.devices()[0].platform != "tpu"
 
     def run_fused():
-        return window._solve_fused_jit(layout, problem, state, cfg, interpret)
+        return window._solve_jit(layout, problem, state, cfg, True, interpret)
 
     sol, summary = run_fused()
     fused_iters = max(1, int(summary.iterations))

@@ -146,8 +146,10 @@ class TestCheckpointResume:
 
 
 def test_float32_pipeline(sim_files):
-    """f32 mode (fast TPU path): same pipeline, looser tolerance, and the
-    covariance floor keeps the whitened prior conditioned."""
+    """f32 mode (fast TPU path): the factor pass runs in f32 while the
+    window solver promotes the Schur/covariance chain to f64
+    (window._auto_schur_dtype), so accuracy matches the f64 pipeline
+    (measured 0.0343 vs 0.0343 on this fixture; scripts/f32_accuracy_check.py)."""
     prob = DatasetProblemSun.read_csv(
         sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
     )
@@ -155,7 +157,7 @@ def test_float32_pipeline(sim_files):
     prob.solve_sliding_window(window=2, use_sun=True)
     ate = metrics.ate_translation(prob.poses, sim_files["ds"].poses_gt)
     assert np.all(np.isfinite(prob.poses))
-    assert ate < 0.6, f"f32 pipeline ATE {ate}"
+    assert ate < 0.05, f"f32 pipeline ATE {ate} (f64 gets 0.0343)"
 
 
 def test_windowed_vo_window5(sim_files):
