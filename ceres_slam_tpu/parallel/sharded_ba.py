@@ -167,14 +167,23 @@ def solve_ba_sharded(
     state0: dense.BAState,
     mesh: Mesh,
     config: dense.SolveConfig = dense.SolveConfig(),
+    shard=None,
+    put_replicated=None,
 ):
     """Distributed LM solve: same trust-region loop as the single-chip
     path, with the Gauss-Newton assembly sharded over observations.
 
+    ``shard`` / ``put_replicated`` override array placement for
+    multi-process meshes (see `parallel.multihost.shard_problem_global`);
+    the defaults handle the single-process case.
+
     The returned solution is replicated on all mesh devices."""
-    problem = shard_problem(problem, mesh)
     rep = NamedSharding(mesh, P())
-    state0 = jax.device_put(state0, rep)
+    problem = shard(problem) if shard is not None else shard_problem(problem, mesh)
+    if put_replicated is None:
+        state0 = jax.device_put(state0, rep)
+    else:
+        state0 = jax.tree.map(put_replicated, state0)
 
     normal_eq = make_sharded_normal_eq(mesh)
 
