@@ -57,3 +57,39 @@ def test_dense_stereo_cli(capsys):
     main(["--height", "60", "--width", "80"])
     out = capsys.readouterr().out
     assert "pose error" in out
+
+
+def test_stereo_vo_cli_synthetic(tmp_path, capsys):
+    """Live-VO driver (sparse_stereo_odometry_node counterpart) on a
+    rendered synthetic sequence."""
+    from ceres_slam_tpu.apps.stereo_vo import main
+    from ceres_slam_tpu.utils import csvio
+
+    out = str(tmp_path / "svo")
+    main(["--synthetic", "6", "--out", out])
+    poses = csvio.read_poses_csv(out + "_poses.csv")
+    assert poses.shape == (6, 12)
+    text = capsys.readouterr().out
+    assert "ATE RMSE" in text
+    ate = float(text.split("ATE RMSE:")[1].split("m")[0])
+    assert ate < 0.5  # dead-reckoned VO on a short synthetic dolly
+
+
+def test_stereo_vo_cli_files(tmp_path, capsys):
+    """File-glob input mode with .npy frames."""
+    import jax.numpy as jnp
+
+    from ceres_slam_tpu.apps.stereo_vo import _render_synthetic, main
+    from ceres_slam_tpu.models.stereo_camera import StereoCamera
+    from ceres_slam_tpu.utils import csvio
+
+    cam = StereoCamera.create(140.0, 140.0, 80.0, 60.0, 0.4)
+    frames, _ = _render_synthetic(cam, 4)
+    for i, (l, r) in enumerate(frames):
+        np.save(tmp_path / f"{i:03d}_left.npy", np.asarray(l))
+        np.save(tmp_path / f"{i:03d}_right.npy", np.asarray(r))
+    out = str(tmp_path / "svo_files")
+    main(["--left-glob", str(tmp_path / "*_left.npy"),
+          "--right-glob", str(tmp_path / "*_right.npy"), "--out", out])
+    poses = csvio.read_poses_csv(out + "_poses.csv")
+    assert poses.shape == (4, 12)
