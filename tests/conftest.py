@@ -23,9 +23,29 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: each unique XLA compile costs ~1-2s in this
-# environment; cache them across test runs.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# No persistent compilation cache on CPU: cached CPU AOT entries have
+# crashed the suite twice (cross-host ISA mismatch -> SIGSEGV; concurrent
+# writer corruption -> SIGABRT). See utils/hostcache.py for the policy.
+from ceres_slam_tpu.utils import hostcache
+
+hostcache.configure(jax.config, platform="cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    With all 21 modules in one process, XLA:CPU's JIT state accumulates
+    across hundreds of compiled programs and eventually segfaults inside
+    backend_compile (reproducible at tests/test_pipeline.py's f32 window
+    solve after ~100 prior tests; every bisected subset passes). Clearing
+    the caches per module keeps the compiler healthy; within-module reuse
+    — where the real compile cost is — is unaffected.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
