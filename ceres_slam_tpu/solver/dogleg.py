@@ -80,38 +80,89 @@ def block_hvp(Hpp_p, Hll_p, U_jo, onehot_jok, v):
 def _boundary_min(B00, B01, B11, g0, g1, radius):
     """Minimize 0.5 y^T B y + g^T y on the circle ||y|| = radius.
 
-    Angular scan (256 samples) + 5 Newton polish steps on
-    f(t) = 0.5 r^2 (B00 c^2 + 2 B01 c s + B11 s^2) + r (g0 c + g1 s)."""
+    Exact More-Sorensen solve in the 2x2 eigenbasis: the minimizer is
+    y(lam) = -(B + lam I)^{-1} g with lam >= max(0, -e_min) chosen so
+    ||y(lam)|| = radius (Ceres solves the equivalent degree-4 polynomial,
+    dogleg_strategy.cc). A sampled angular scan is NOT safe here: for an
+    ill-conditioned B (cond ~1e5 is routine in BA) the model's valley on
+    the circle is only ~cond^{-1/2} radians wide and falls between samples.
+    Safeguarded bisection on lam is branchless, jittable, and exact."""
     dtype = B00.dtype
     r = radius
+    tiny = jnp.asarray(1e-30, dtype)
 
-    def f(t):
-        c = jnp.cos(t)
-        s = jnp.sin(t)
-        return 0.5 * r * r * (B00 * c * c + 2.0 * B01 * c * s + B11 * s * s) + r * (
-            g0 * c + g1 * s
+    # closed-form symmetric 2x2 eigendecomposition, e1 <= e2
+    mean = 0.5 * (B00 + B11)
+    half = 0.5 * (B00 - B11)
+    d = jnp.sqrt(half * half + B01 * B01)
+    e1 = mean - d
+    e2 = mean + d
+    # eigenvector for e1 from the better-conditioned row of (B - e1 I)
+    v_a = jnp.stack([B01, e1 - B00])
+    v_b = jnp.stack([e1 - B11, B01])
+    use_a = jnp.abs(e1 - B00) > jnp.abs(e1 - B11)
+    v1 = jnp.where(use_a, v_a, v_b)
+    n1 = jnp.sqrt(jnp.sum(v1 * v1))
+    v1 = jnp.where(n1 > tiny, v1 / jnp.maximum(n1, tiny),
+                   jnp.asarray([1.0, 0.0], dtype))
+    v2 = jnp.stack([-v1[1], v1[0]])
+
+    g_vec = jnp.stack([g0, g1])
+    gh1 = jnp.sum(v1 * g_vec)
+    gh2 = jnp.sum(v2 * g_vec)
+
+    def norm2_y(lam):
+        y1 = -gh1 / jnp.maximum(e1 + lam, tiny)
+        y2 = -gh2 / jnp.maximum(e2 + lam, tiny)
+        return y1 * y1 + y2 * y2
+
+    # ||y(lam)|| decreases in lam; bracket so ||y(hi)|| <= r <= ||y(lo+)||
+    gnorm = jnp.sqrt(gh1 * gh1 + gh2 * gh2)
+    lo = jnp.maximum(jnp.asarray(0.0, dtype), -e1)
+    hi = jnp.maximum(lo + tiny, -e1 + gnorm / jnp.maximum(r, tiny))
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_big = norm2_y(mid) > r * r
+        return jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 64, bisect, (lo, hi))
+    lam = 0.5 * (lo + hi)
+    yh1 = -gh1 / jnp.maximum(e1 + lam, tiny)
+    yh2 = -gh2 / jnp.maximum(e2 + lam, tiny)
+    # hard case (gh1 ~ 0, lam pinned at -e1, ||y|| < r): fill the missing
+    # norm along the e1 eigendirection to reach the boundary
+    tau = jnp.sqrt(jnp.maximum(r * r - (yh1 * yh1 + yh2 * yh2), 0.0))
+    yh1 = yh1 + tau * jnp.where(gh1 > 0.0, -1.0, 1.0)
+    # the fill's cross term and the bisection residual leave ||y|| within
+    # ~1e-8 of r; project exactly onto the circle
+    ynorm = jnp.sqrt(yh1 * yh1 + yh2 * yh2)
+    scale = r / jnp.maximum(ynorm, tiny)
+    yh1 = yh1 * scale
+    yh2 = yh2 * scale
+
+    def model(y0, y1):
+        return 0.5 * (B00 * y0 * y0 + 2.0 * B01 * y0 * y1 + B11 * y1 * y1) + (
+            g0 * y0 + g1 * y1
         )
 
-    ts = jnp.linspace(0.0, 2.0 * jnp.pi, 256, endpoint=False, dtype=dtype)
-    t = ts[jnp.argmin(f(ts))]
-
-    def polish(_, t):
-        c = jnp.cos(t)
-        s = jnp.sin(t)
-        # df/dt and d2f/dt2 of the trig model
-        df = 0.5 * r * r * (2.0 * (B11 - B00) * c * s + 2.0 * B01 * (c * c - s * s)) + r * (
-            -g0 * s + g1 * c
-        )
-        d2f = 0.5 * r * r * (
-            2.0 * (B11 - B00) * (c * c - s * s) - 8.0 * B01 * c * s
-        ) + r * (-g0 * c - g1 * s)
-        step = df / jnp.where(d2f > 1e-30, d2f, 1.0)
-        # Newton only where locally convex; clamp to the scan spacing
-        step = jnp.clip(step, -0.025, 0.025)
-        return jnp.where(d2f > 1e-30, t - step, t)
-
-    t = jax.lax.fori_loop(0, 5, polish, t)
-    return r * jnp.cos(t), r * jnp.sin(t)
+    # candidates: the More-Sorensen point, the boundary Cauchy point, and
+    # +/- the e1 eigendirection (covers g ~ 0); pick the lowest model value
+    cand0 = jnp.stack([
+        yh1 * v1[0] + yh2 * v2[0],
+        -r * g0 / jnp.maximum(jnp.sqrt(g0 * g0 + g1 * g1), tiny),
+        r * v1[0],
+        -r * v1[0],
+    ])
+    cand1 = jnp.stack([
+        yh1 * v1[1] + yh2 * v2[1],
+        -r * g1 / jnp.maximum(jnp.sqrt(g0 * g0 + g1 * g1), tiny),
+        r * v1[1],
+        -r * v1[1],
+    ])
+    best = jnp.argmin(model(cand0, cand1))
+    return cand0[best], cand1[best]
 
 
 def subspace_step(g, dx_gn, hvp, radius):
@@ -196,6 +247,7 @@ def blocks_dogleg_loop(
         best_state: object
         best_blocks: object
         best_cost: jnp.ndarray
+        history: tuple
 
     def cond(c):
         return (~c.done) & (c.it < config.max_iters)
@@ -262,9 +314,18 @@ def blocks_dogleg_loop(
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (radius <= 1e-11)
         )
+        history = c.history
+        if config.record_history:
+            ch, rh, gh, ah = history
+            history = (
+                ch.at[c.it].set(cost),
+                rh.at[c.it].set(radius),  # trust radius in the lambda slot
+                gh.at[c.it].set(grad_norm),
+                ah.at[c.it].set(accept),
+            )
         return Carry(
             state, blocks, radius, cost, grad_norm, c.it + 1, done,
-            cost_buf, best_state, best_blocks, best_cost,
+            cost_buf, best_state, best_blocks, best_cost, history,
         )
 
     init = Carry(
@@ -279,6 +340,10 @@ def blocks_dogleg_loop(
         best_state=state0,
         best_blocks=blocks0,
         best_cost=cost0,
+        history=(
+            (jnp.full((config.max_iters,), jnp.nan, dtype),) * 3
+            + (jnp.zeros((config.max_iters,), bool),)
+        ) if config.record_history else (),
     )
     out = jax.lax.while_loop(cond, body, init)
     # With nonmonotonic steps the final iterate can sit above the best
@@ -287,11 +352,16 @@ def blocks_dogleg_loop(
     final_state = out.best_state if config.nonmonotonic else out.state
     final_blocks = out.best_blocks if config.nonmonotonic else out.blocks
     final_cost = out.best_cost if config.nonmonotonic else out.cost
+    hist = out.history if config.record_history else (None, None, None, None)
     summary = lm.SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
         final_cost=final_cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.radius,
+        cost_history=hist[0],
+        lambda_history=hist[1],
+        grad_norm_history=hist[2],
+        step_accepted=hist[3],
     )
     return final_state, summary, final_blocks
