@@ -51,7 +51,8 @@ class ObsBlocks(NamedTuple):
 
 
 def build_obs_blocks(
-    problem: dense.StereoBAProblem, state: dense.BAState, lam: jnp.ndarray
+    problem: dense.StereoBAProblem, state: dense.BAState, lam: jnp.ndarray,
+    tables: "ObsTables | None" = None,
 ) -> ObsBlocks:
     p = problem
     K = state.poses.shape[0]
@@ -67,12 +68,22 @@ def build_obs_blocks(
     J_pose = J_pose * valid[:, None, None]
     J_pt = J_pt * valid[:, None, None]
 
-    seg = jax.ops.segment_sum
-    Hpp = seg(jnp.einsum("nri,nrj->nij", J_pose, J_pose), st.pose_idx, num_segments=K)
-    Hll = seg(jnp.einsum("nri,nrj->nij", J_pt, J_pt), st.point_idx, num_segments=J)
     U = jnp.einsum("nri,nrj->nij", J_pose, J_pt)
-    gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), st.pose_idx, num_segments=K)
-    gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), st.point_idx, num_segments=J)
+    if tables is not None:
+        # scatter-free assembly: TPU scatters serialize; the gather tables
+        # turn every segment reduction into dense gathers + einsums
+        Hpp = _gather_sum_by_pose(
+            tables, jnp.einsum("nri,nrj->nij", J_pose, J_pose))
+        gp = _gather_sum_by_pose(tables, jnp.einsum("nri,nr->ni", J_pose, r))
+        Hll = _gather_sum_by_point(
+            tables, jnp.einsum("nri,nrj->nij", J_pt, J_pt))
+        gl = _gather_sum_by_point(tables, jnp.einsum("nri,nr->ni", J_pt, r))
+    else:
+        seg = jax.ops.segment_sum
+        Hpp = seg(jnp.einsum("nri,nrj->nij", J_pose, J_pose), st.pose_idx, num_segments=K)
+        Hll = seg(jnp.einsum("nri,nrj->nij", J_pt, J_pt), st.point_idx, num_segments=J)
+        gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), st.pose_idx, num_segments=K)
+        gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), st.point_idx, num_segments=J)
 
     # sun + prior touch only pose blocks
     Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
@@ -155,6 +166,20 @@ def build_obs_tables(pose_idx, point_idx, K: int, J: int) -> ObsTables:
     return ObsTables(by_point=bp, by_point_w=bpw, by_pose=bk, by_pose_w=bkw)
 
 
+def _gather_sum_by_point(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
+    """Sum a per-observation array into landmark bins via the gather table
+    (scatter-free segment_sum over point_idx)."""
+    w = t.by_point_w.astype(per_obs.dtype)
+    g = per_obs[t.by_point]  # [J, O, ...]
+    return jnp.einsum("jo...,jo->j...", g, w)
+
+
+def _gather_sum_by_pose(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
+    w = t.by_pose_w.astype(per_obs.dtype)
+    g = per_obs[t.by_pose]  # [K, O, ...]
+    return jnp.einsum("ko...,ko->k...", g, w)
+
+
 def schur_matvec_gather(b: ObsBlocks, t: ObsTables, v: jnp.ndarray) -> jnp.ndarray:
     """``S v`` with gather-table reductions (no scatters)."""
     dtype = v.dtype
@@ -188,14 +213,14 @@ def schur_matvec(b: ObsBlocks, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
 
 
-def schur_diag_blocks(b: ObsBlocks) -> jnp.ndarray:
+def schur_diag_blocks(b: ObsBlocks, tables: "ObsTables | None" = None) -> jnp.ndarray:
     """Exact diagonal blocks ``S_kk`` for the block-Jacobi preconditioner."""
     K = b.Hpp.shape[0]
-    UCU = jax.ops.segment_sum(
-        jnp.einsum("nij,njk,nlk->nil", b.U, b.Cinv[b.point_idx], b.U),
-        b.pose_idx,
-        num_segments=K,
-    )
+    per_obs = jnp.einsum("nij,njk,nlk->nil", b.U, b.Cinv[b.point_idx], b.U)
+    if tables is not None:
+        UCU = _gather_sum_by_pose(tables, per_obs)
+    else:
+        UCU = jax.ops.segment_sum(per_obs, b.pose_idx, num_segments=K)
     return b.Hpp - UCU
 
 
@@ -216,7 +241,7 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
               tables: "ObsTables | None" = None):
     """Block-Jacobi preconditioned CG on the reduced camera system.
     With ``tables``, matvecs use gather-table reductions (no scatters)."""
-    precond = _block_precond(schur_diag_blocks(b))
+    precond = _block_precond(schur_diag_blocks(b, tables))
     matvec = (lambda v: schur_matvec_gather(b, tables, v)) if tables is not None \
         else (lambda v: schur_matvec(b, v))
 
@@ -253,32 +278,38 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
 def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
              tables: "ObsTables | None" = None):
     """One damped LM linear solve via Schur + PCG; returns
-    (dx, grad_norm, pred_decrease) for the shared LM core."""
-    b = build_obs_blocks(problem, state, lam)
+    (dx, grad_norm, pred_decrease) for the shared LM core. With ``tables``
+    every segment reduction (assembly, rhs, back-substitution, predicted
+    decrease, matvecs) is scatter-free."""
+    b = build_obs_blocks(problem, state, lam, tables=tables)
     K = b.Hpp.shape[0]
     J = b.Cinv.shape[0]
 
+    def sum_by_pose(per_obs):
+        if tables is not None:
+            return _gather_sum_by_pose(tables, per_obs)
+        return jax.ops.segment_sum(per_obs, b.pose_idx, num_segments=K)
+
+    def sum_by_point(per_obs):
+        if tables is not None:
+            return _gather_sum_by_point(tables, per_obs)
+        return jax.ops.segment_sum(per_obs, b.point_idx, num_segments=J)
+
     # rhs = -(gp - U C^{-1} gl)
     y = jnp.einsum("jab,jb->ja", b.Cinv, b.gl)
-    Uy = jax.ops.segment_sum(
-        jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]), b.pose_idx, num_segments=K
-    )
+    Uy = sum_by_pose(jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]))
     rhs = -(b.gp - Uy)
 
     dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol, tables=tables)
 
     # back-substitute landmarks: dl = -C^{-1}(gl + U^T dp)
-    Utdp = jax.ops.segment_sum(
-        jnp.einsum("nij,ni->nj", b.U, dp[b.pose_idx]), b.point_idx, num_segments=J
-    )
+    Utdp = sum_by_point(jnp.einsum("nij,ni->nj", b.U, dp[b.pose_idx]))
     dl = -jnp.einsum("jab,jb->ja", b.Cinv, b.gl + Utdp)
 
     dx = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
     grad_norm = jnp.maximum(jnp.max(jnp.abs(b.gp)), jnp.max(jnp.abs(b.gl)))
     # predicted decrease with the undamped blocks
-    Udl = jax.ops.segment_sum(
-        jnp.einsum("nij,nj->ni", b.U, dl[b.point_idx]), b.pose_idx, num_segments=K
-    )
+    Udl = sum_by_pose(jnp.einsum("nij,nj->ni", b.U, dl[b.point_idx]))
     g_dot_dx = jnp.sum(b.gp * dp) + jnp.sum(b.gl * dl)
     dxHdx = (
         jnp.einsum("ka,kab,kb->", dp, b.Hpp_undamped, dp)
@@ -290,19 +321,37 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
 
 
 @partial(jax.jit, static_argnames=("config", "max_cg_iters"))
+def _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol, tables):
+    return lm.lm_solve(
+        state0,
+        config,
+        lambda s: dense.ba_cost(problem, s),
+        lambda s, lam: pcg_step(problem, s, lam, max_cg_iters, cg_tol,
+                                tables=tables),
+        lambda s, dx: dense._retract_state(problem, s, dx),
+    )
+
+
 def solve_ba_pcg(
     problem: dense.StereoBAProblem,
     state0: dense.BAState,
     config: lm.SolveConfig = lm.SolveConfig(),
     max_cg_iters: int = 100,
     cg_tol: float = 1e-6,
+    tables: "ObsTables | None" = None,
 ):
     """LM with the matrix-free Schur-PCG linear solver — the scalable path
-    for full-batch BA (replaces Ceres ITERATIVE_SCHUR + SuiteSparse)."""
-    return lm.lm_solve(
-        state0,
-        config,
-        lambda s: dense.ba_cost(problem, s),
-        lambda s, lam: pcg_step(problem, s, lam, max_cg_iters, cg_tol),
-        lambda s, dx: dense._retract_state(problem, s, dx),
-    )
+    for full-batch BA (replaces Ceres ITERATIVE_SCHUR + SuiteSparse).
+
+    On TPU the gather tables are built automatically (host-side, one-time
+    per problem structure) so the whole solve is scatter-free; pass
+    ``tables=False`` to force the segment-sum path."""
+    if tables is None and jax.devices()[0].platform == "tpu":
+        tables = build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx,
+            state0.poses.shape[0], state0.points.shape[0],
+        )
+    if tables is False:
+        tables = None
+    return _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol,
+                             tables)
