@@ -18,6 +18,7 @@ import numpy as np
 from ceres_slam_tpu.frontend import alignment
 from ceres_slam_tpu.models.stereo_camera import StereoCamera
 from ceres_slam_tpu.ops import lie
+from ceres_slam_tpu.problems.dataset import _round_up
 from ceres_slam_tpu.solver import lm as lm_mod
 from ceres_slam_tpu.solver import phong as phong_mod
 from ceres_slam_tpu.utils import csvio, se3np
@@ -199,21 +200,60 @@ class DatasetProblemPhong:
 
     # -- solving -----------------------------------------------------------
 
-    def _build_problem(self, k1, k2):
-        sel = np.concatenate(self._state_obs[k1:k2])
+    def _window_budget(self, window: int):
+        """Static pad sizes (obs, active vertices) across all windows, so
+        every window solve reuses ONE compiled XLA program (the reference
+        rebuilds a ceres::Problem per window; unpadded shapes here would
+        mean a fresh ~seconds-long compile per window)."""
+        K = self.num_states
+        max_obs, max_vtx = 1, 1
+        for k1 in range(0, K - window + 1):
+            sel = np.concatenate(self._state_obs[k1 : k1 + window])
+            max_obs = max(max_obs, sel.size)
+            max_vtx = max(max_vtx, np.unique(self.vertex_ids[sel]).size)
+        return _round_up(max_obs), _round_up(max_vtx)
+
+    def build_window_problem(self, k1: int, k2: int, n_obs_pad: int,
+                             n_vtx_pad: int):
+        """Padded PhongBAProblem + PhongState for window [k1, k2): only the
+        window's active vertices ride along (slotted into [0, n_vtx_pad)),
+        not the full global vertex set; materials/textures/light are global
+        shared blocks (dataset_problem_phong.cpp:266-278) and stay whole."""
         from ceres_slam_tpu.ops import factors as factors_mod
 
-        dt = jnp.dtype(self.dtype)
-        obs = phong_mod.PhongObs(
-            uvd=jnp.asarray(self.obs_list[sel], dt),
-            int_obs=jnp.asarray(self.int_list[sel], dt),
-            normal_obs=jnp.asarray(self.normal_obs_list[sel], dt),
-            pose_idx=jnp.asarray(self.state_ids[sel] - k1, jnp.int32),
-            vertex_idx=jnp.asarray(self.vertex_ids[sel], jnp.int32),
-            material_idx=jnp.asarray(self.material_ids[sel], jnp.int32),
-            valid=jnp.ones(sel.size, bool),
-        )
         Kw = k2 - k1
+        sel = np.concatenate(self._state_obs[k1:k2])
+        slots, local_v = np.unique(self.vertex_ids[sel], return_inverse=True)
+        n_obs, n_vtx = sel.size, slots.size
+        assert n_obs <= n_obs_pad and n_vtx <= n_vtx_pad, "pad budget too small"
+
+        dt = jnp.dtype(self.dtype)
+        uvd = np.zeros((n_obs_pad, 3))
+        uvd[:n_obs] = self.obs_list[sel]
+        ints = np.zeros(n_obs_pad)
+        ints[:n_obs] = self.int_list[sel]
+        nobs = np.tile(np.array([0.0, 0.0, 1.0]), (n_obs_pad, 1))
+        nobs[:n_obs] = self.normal_obs_list[sel]
+        pose_idx = np.zeros(n_obs_pad, np.int32)
+        pose_idx[:n_obs] = self.state_ids[sel] - k1
+        vertex_idx = np.zeros(n_obs_pad, np.int32)
+        vertex_idx[:n_obs] = local_v
+        material_idx = np.zeros(n_obs_pad, np.int32)
+        material_idx[:n_obs] = self.material_ids[sel]
+        valid = np.zeros(n_obs_pad, bool)
+        valid[:n_obs] = True
+        vertex_valid = np.zeros(n_vtx_pad, bool)
+        vertex_valid[:n_vtx] = self.initialized_vertex[slots]
+
+        obs = phong_mod.PhongObs(
+            uvd=jnp.asarray(uvd, dt),
+            int_obs=jnp.asarray(ints, dt),
+            normal_obs=jnp.asarray(nobs, dt),
+            pose_idx=jnp.asarray(pose_idx),
+            vertex_idx=jnp.asarray(vertex_idx),
+            material_idx=jnp.asarray(material_idx),
+            valid=jnp.asarray(valid),
+        )
         problem = phong_mod.PhongBAProblem(
             camera=self.camera.astype(dt),
             obs=obs,
@@ -221,17 +261,34 @@ class DatasetProblemPhong:
             normal_stiffness=factors_mod.inv_sqrt_psd(jnp.diag(jnp.asarray(self.normal_obs_var, dt))),
             int_stiffness=jnp.asarray(1.0 / np.sqrt(self.int_var), dt),
             fixed_pose_mask=jnp.zeros(Kw, bool).at[0].set(True),
-            vertex_valid=jnp.asarray(self.initialized_vertex),
+            vertex_valid=jnp.asarray(vertex_valid),
         )
+        pts = np.zeros((n_vtx_pad, 3))
+        pts[:n_vtx] = self.vertex_positions[slots]
+        nrm = np.tile(np.array([0.0, 0.0, 1.0]), (n_vtx_pad, 1))  # unit pad:
+        # the tangent projector of a zero normal would be singular
+        nrm[:n_vtx] = self.vertex_normals[slots]
         state = phong_mod.PhongState(
             poses=jnp.asarray(self.poses[k1:k2], dt),
-            points=jnp.asarray(self.vertex_positions, dt),
-            normals=jnp.asarray(self.vertex_normals, dt),
+            points=jnp.asarray(pts, dt),
+            normals=jnp.asarray(nrm, dt),
             phong=jnp.asarray(self.materials, dt),
             textures=jnp.asarray(self.textures, dt),
             light=jnp.asarray(self.light, dt),
         )
-        return problem, state
+        return problem, state, slots
+
+    def absorb_window_solution(self, k1, k2, sol: "phong_mod.PhongState",
+                               slots: np.ndarray):
+        self.poses[k1:k2] = np.asarray(sol.poses)
+        upd = self.initialized_vertex[slots]
+        self.vertex_positions[slots[upd]] = np.asarray(sol.points)[: slots.size][upd]
+        self.vertex_normals[slots[upd]] = np.asarray(sol.normals)[: slots.size][upd]
+        # np.array (copy): np.asarray of a jax buffer is read-only, and the
+        # next window's initial guess writes these in place
+        self.materials = np.array(sol.phong)
+        self.textures = np.array(sol.textures)
+        self.light = np.array(sol.light)
 
     def solve_full(
         self,
@@ -246,6 +303,14 @@ class DatasetProblemPhong:
         config = config or lm_mod.SolveConfig(max_iters=100)
         K = self.num_states
         window = window or K
+        n_obs_pad, n_vtx_pad = self._window_budget(window)
+        if window < K:
+            # The reference driver VO-initializes the FULL chain before the
+            # window loop (dataset_ba_phong.cpp:306); the per-window call
+            # below only re-inits materials when k1 > 0 (its pose loop
+            # range(k2, k2) is empty), so without this, poses past the
+            # first window would enter their window at identity.
+            self.compute_initial_guess()
         all_summaries = []
         for k1 in range(0, K - window + 1):
             k2 = min(k1 + window, K)
@@ -255,19 +320,15 @@ class DatasetProblemPhong:
                 self.compute_initial_guess(k2 - 1, k2)
             else:
                 self.compute_initial_guess(k1, k2)
-            problem, state = self._build_problem(k1, k2)
+            problem, state, slots = self.build_window_problem(
+                k1, k2, n_obs_pad, n_vtx_pad
+            )
             sol, summaries = phong_mod.solve_phong_staged(
                 problem, state, config,
                 use_light=use_light,
                 directional=self.directional_light,
                 multistage=multistage,
             )
-            self.poses[k1:k2] = np.asarray(sol.poses)
-            upd = self.initialized_vertex
-            self.vertex_positions[upd] = np.asarray(sol.points)[upd]
-            self.vertex_normals[upd] = np.asarray(sol.normals)[upd]
-            self.materials = np.asarray(sol.phong)
-            self.textures = np.asarray(sol.textures)
-            self.light = np.asarray(sol.light)
+            self.absorb_window_solution(k1, k2, sol, slots)
             all_summaries.extend(summaries)
         return all_summaries

@@ -180,3 +180,22 @@ def test_phong_dataset_pipeline(tmp_path):
     import os
     for suffix in ("_poses.csv", "_map.csv", "_lights.csv"):
         assert os.path.exists(str(tmp_path / f"phong{suffix}"))
+
+
+def test_phong_dataset_windowed(tmp_path):
+    """Sliding-window Phong BA (--window N, tests/dataset_ba_phong.cpp:
+    314-327): padded per-window problems share ONE compiled program and
+    carry only the window's active vertex slots, not the global set."""
+    from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
+    from ceres_slam_tpu.utils import metrics, sim
+
+    ds = sim.generate_phong(num_states=12, num_points=200, seed=7)
+    track = str(tmp_path / "phong_w.csv")
+    sim.write_phong_track_csv(ds, track)
+    prob = DatasetProblemPhong.read_csv(track)
+    n_obs_pad, n_vtx_pad = prob._window_budget(5)
+    assert n_vtx_pad < prob.num_vertices  # bounded by window content
+    summaries = prob.solve_full(window=5, use_light=True)
+    assert all(np.isfinite(float(s.final_cost)) for s in summaries)
+    ate = metrics.ate_translation(prob.poses, ds.poses_gt)
+    assert ate < 0.3, f"windowed Phong BA ATE {ate}"
