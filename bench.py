@@ -31,14 +31,49 @@ LOOP_ITERS = 50  # LM iterations fused into one device call
 
 
 def build(dtype):
-    import __graft_entry__ as ge
+    """Bench problem: well-posed geometry + a VO-initialization-sized
+    perturbation of the state, so the timed LM iterations do real descent
+    (an unperturbed start sits at the minimum and every step is a
+    rejection)."""
+    import jax.numpy as jnp
+    import numpy as np
 
-    return ge._build_example(K=K, J=J, n_obs=N_OBS, dtype=dtype, seed=7)
+    import __graft_entry__ as ge
+    from ceres_slam_tpu.solver import dense
+
+    problem, state = ge._build_example(K=K, J=J, n_obs=N_OBS, dtype=dtype, seed=7)
+    rng = np.random.default_rng(11)
+    dx = np.concatenate([
+        rng.normal(0, 0.01, 6 * K),   # ~1 cm / 0.5 deg pose error
+        rng.normal(0, 0.05, 3 * J),   # 5 cm landmark error
+    ])
+    state = dense._retract_state(problem, state, jnp.asarray(dx, dtype))
+    return problem, state
 
 
 def lm_loop_fn():
-    """R full LM iterations (assembly + Schur solve + retract + cost +
-    accept/damping logic) fused into one jitted call."""
+    """Production LM loop: the scatter-free Schur window solver, fused
+    Pallas factor kernel on TPU / pure-XLA blocks elsewhere — one jitted
+    call for the whole trust-region loop (scripts/bench_compare.py: 329-470
+    it/s fused vs 152-217 for the PCG loop on chip, identical minima)."""
+    import jax
+
+    from ceres_slam_tpu.solver import lm, window
+
+    fused = jax.devices()[0].platform == "tpu"
+    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0)
+
+    def run(problem, state):
+        layout = window.build_window_layout(problem, K, J)
+        return window._solve_jit(layout, problem, state, cfg, fused, not fused)
+
+    return run
+
+
+def pcg_loop_fn(tables=None):
+    """Secondary metric: LM with the matrix-free Schur-PCG linear solver —
+    the memory-light path that scales past the window layout's [J,O,K]
+    one-hot (K >= 256 full-batch BA). ``tables`` makes it scatter-free."""
     import jax
     import jax.numpy as jnp
 
@@ -48,10 +83,8 @@ def lm_loop_fn():
     def run(problem, state):
         def body(_, carry):
             state, lam, cost = carry
-            # Matrix-free Schur-PCG: fastest measured linear solver on TPU
-            # (200 vs 143 it/s for dense-W Schur at this scale; 2.5x at
-            # K=256/J=8192 — see BASELINE.md).
-            dx, _, _ = pcg.pcg_step(problem, state, lam, max_cg_iters=50, cg_tol=1e-5)
+            dx, _, _ = pcg.pcg_step(problem, state, lam, max_cg_iters=50,
+                                    cg_tol=1e-5, tables=tables)
             new_state = dense._retract_state(problem, state, dx)
             new_cost = dense.ba_cost(problem, new_state)
             accept = jnp.isfinite(new_cost) & (new_cost < cost)
@@ -78,6 +111,32 @@ def _sync(x) -> float:
 def measure_lm(dtype) -> float:
     problem, state = build(dtype)
     run = lm_loop_fn()
+    _, summary = run(problem, state)  # compile + warm
+    iters = max(1, int(summary.iterations))
+    _sync(summary.final_cost)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        _, summary = run(problem, state)
+    _sync(summary.final_cost)
+    dt = time.perf_counter() - t0
+    # rate from the iterations the solver actually executed (the loop can
+    # converge before the budget; each executed iteration is one full
+    # factor pass + Schur solve + retraction + accept logic)
+    return reps * iters / dt
+
+
+def measure_pcg(dtype) -> float:
+    import jax
+
+    from ceres_slam_tpu.solver import pcg
+
+    problem, state = build(dtype)
+    tables = None
+    if jax.devices()[0].platform == "tpu":  # scatter-free reductions
+        tables = pcg.build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+    run = pcg_loop_fn(tables)
     _sync(run(problem, state))  # compile + warm
     t0 = time.perf_counter()
     reps = 3
@@ -173,7 +232,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         import jax.numpy as jnp
 
-        print(json.dumps({"lm_iters_per_s": measure_lm(jnp.float32)}))
+        # The honest CPU baseline is the host's BEST solver for this
+        # problem, not the TPU-shaped program: the window solver's dense
+        # one-hot contractions are nearly free on the MXU but dominate on
+        # CPU (5.5 it/s vs ~120 for PCG at bench scale).
+        best = max(measure_lm(jnp.float32), measure_pcg(jnp.float32))
+        print(json.dumps({"lm_iters_per_s": best}))
         return
 
     import jax
@@ -181,6 +245,7 @@ def main():
 
     platform = jax.devices()[0].platform
     lm = measure_lm(jnp.float32)
+    pcg = measure_pcg(jnp.float32)
     ransac = measure_ransac(jnp.float32)
     matching = measure_matching(jnp.float32)
 
@@ -209,6 +274,7 @@ def main():
                 "platform": platform,
                 "problem": {"K": K, "J": J, "n_obs": N_OBS, "dof": 6 * K + 3 * J},
                 "cpu_lm_iters_per_s": round(cpu_lm, 3) if cpu_lm == cpu_lm else None,
+                "pcg_lm_iters_per_s": round(pcg, 3),
                 "ransac_point_hypotheses_per_s": round(ransac, 1),
                 "matching_pair_scores_per_s": round(matching, 1),
             }
