@@ -26,10 +26,9 @@ def setup_jax(platform: str | None = None, x64: bool = True):
         jax.config.update("jax_platforms", platform)
     if x64:
         jax.config.update("jax_enable_x64", True)
-    cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from ceres_slam_tpu.utils import hostcache
+
+    hostcache.configure(jax.config, platform=platform)
 
 
 def base_parser(desc: str) -> argparse.ArgumentParser:
@@ -44,4 +43,23 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     # (tests/dataset_vo.cpp:69, dataset_vo_sun.cpp:140)
     p.add_argument("--max-iters", type=int, default=1000,
                    help="max trust-region iterations per solve")
+    p.add_argument("--report", default="none",
+                   choices=["none", "brief", "full"],
+                   help="per-window solver report (ceres Brief/FullReport "
+                        "equivalent; full records per-iteration telemetry)")
     return p
+
+
+def print_reports(summaries, mode: str, file=None) -> None:
+    """Print per-window solver reports (reference prints BriefReport per
+    window, tests/dataset_vo_sun.cpp:152)."""
+    import sys
+
+    from ceres_slam_tpu.utils import telemetry
+
+    if mode == "none":
+        return
+    file = file or sys.stderr
+    fmt = telemetry.full_report if mode == "full" else telemetry.brief_report
+    for i, s in enumerate(summaries):
+        print(f"[window {i}] {fmt(s)}", file=file)

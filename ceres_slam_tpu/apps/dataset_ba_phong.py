@@ -16,7 +16,7 @@ import sys
 
 
 def main(argv=None):
-    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+    from ceres_slam_tpu.apps.common import base_parser, print_reports, setup_jax
 
     p = base_parser("dataset_ba_phong: joint geometry + Phong lighting BA")
     p.add_argument("input_file")
@@ -49,13 +49,17 @@ def main(argv=None):
         window=args.window,
         use_light=not args.nolight,
         multistage=args.multistage,
-        config=SolveConfig(max_iters=args.max_iters),
+        config=SolveConfig(max_iters=args.max_iters,
+                           record_history=args.report == "full"),
     )
-    for i, s in enumerate(summaries):
-        print(
-            f"stage {i}: cost {float(s.initial_cost):.6e} -> "
-            f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
-        )
+    if args.report != "none":
+        print_reports(summaries, args.report)
+    else:
+        for i, s in enumerate(summaries):
+            print(
+                f"stage {i}: cost {float(s.initial_cost):.6e} -> "
+                f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
+            )
     dataset.write_csv(args.input_file)
 
 

@@ -13,7 +13,7 @@ import sys
 
 
 def main(argv=None):
-    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+    from ceres_slam_tpu.apps.common import base_parser, print_reports, setup_jax
 
     p = base_parser("dataset_vo: stereo VO / full-batch bundle adjustment")
     p.add_argument("input_file")
@@ -37,13 +37,17 @@ def main(argv=None):
     # (tests/dataset_vo.cpp:69-72 — DOGLEG is commented out there)
     summaries = dataset.solve_full(
         window=args.window,
-        config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True),
+        config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                           record_history=args.report == "full"),
     )
-    for i, s in enumerate(summaries):
-        print(
-            f"window {i}: cost {float(s.initial_cost):.6e} -> "
-            f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
-        )
+    if args.report != "none":
+        print_reports(summaries, args.report)
+    else:
+        for i, s in enumerate(summaries):
+            print(
+                f"window {i}: cost {float(s.initial_cost):.6e} -> "
+                f"{float(s.final_cost):.6e} in {int(s.iterations)} iterations"
+            )
     dataset.write_csv(args.input_file)
 
 

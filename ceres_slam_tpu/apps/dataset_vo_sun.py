@@ -20,7 +20,7 @@ import sys
 
 
 def main(argv=None):
-    from ceres_slam_tpu.apps.common import base_parser, setup_jax
+    from ceres_slam_tpu.apps.common import base_parser, print_reports, setup_jax
 
     p = base_parser("dataset_vo_sun: sun-aided sliding-window stereo VO")
     p.add_argument("track_file")
@@ -50,7 +50,8 @@ def main(argv=None):
     az_thresh = args.az_err_thresh * math.pi / 180.0
     zen_thresh = args.zen_err_thresh * math.pi / 180.0
     # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141)
-    config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True)
+    config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                         record_history=args.report == "full")
 
     dataset = DatasetProblemSun.read_csv(
         args.track_file, args.ref_sun_file, args.obs_sun_file
@@ -65,14 +66,15 @@ def main(argv=None):
 
     if not args.sun_only:
         print("Computing VO without sun measurements", file=sys.stderr)
-        dataset.solve_sliding_window(
+        summaries = dataset.solve_sliding_window(
             window=args.window, use_sun=False, config=config, progress=True,
             strategy=args.strategy,
         )
+        print_reports(summaries, args.report)
         dataset.write_csv(args.track_file)
 
     print("Computing VO with sun measurements", file=sys.stderr)
-    dataset.solve_sliding_window(
+    summaries = dataset.solve_sliding_window(
         window=args.window,
         use_sun=True,
         huber_param=args.huber_param,
@@ -82,6 +84,7 @@ def main(argv=None):
         progress=True,
         strategy=args.strategy,
     )
+    print_reports(summaries, args.report)
 
     # Output name: <track>_<last '_'-token of obs sun file> (:314-321)
     track_base = args.track_file.rsplit(".", 1)[0]

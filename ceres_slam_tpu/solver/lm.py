@@ -28,6 +28,9 @@ class SolveConfig(NamedTuple):
     # costs — lets the trust region walk through small ridges.
     nonmonotonic: bool = False
     nonmonotonic_window: int = 5
+    # Record per-iteration cost/lambda/grad/accept trajectories into the
+    # SolveSummary (telemetry.full_report; ceres FullReport equivalent).
+    record_history: bool = False
 
 
 class SolveSummary(NamedTuple):
@@ -73,6 +76,7 @@ def lm_solve(
     the max-norm of the gradient, and the scalar predicted cost decrease
     ``-(g . dx + 0.5 dx . H dx)`` of the undamped model (computing the
     scalar directly is much cheaper than materializing H dx)."""
+    record_history = record_history or config.record_history
     cost0 = cost_fn(state0)
     dtype = cost0.dtype
 

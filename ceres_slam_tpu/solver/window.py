@@ -603,6 +603,7 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
         best_state: dense.BAState
         best_blocks: _FusedBlocks
         best_cost: jnp.ndarray
+        history: tuple
 
     def cond(c):
         return (~c.done) & (c.it < config.max_iters)
@@ -652,8 +653,17 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
+        history = c.history
+        if config.record_history:
+            ch, lh, gh, ah = history
+            history = (
+                ch.at[c.it].set(cost),
+                lh.at[c.it].set(lam),
+                gh.at[c.it].set(grad_norm),
+                ah.at[c.it].set(accept),
+            )
         return Carry(state, blocks, lam, cost, grad_norm, c.it + 1, done,
-                     cost_buf, best_state, best_blocks, best_cost)
+                     cost_buf, best_state, best_blocks, best_cost, history)
 
     init = Carry(
         state=state0,
@@ -667,6 +677,10 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
         best_state=state0,
         best_blocks=blocks0,
         best_cost=cost0,
+        history=(
+            (jnp.full((config.max_iters,), jnp.nan, dtype),) * 3
+            + (jnp.zeros((config.max_iters,), bool),)
+        ) if config.record_history else (),
     )
     out = jax.lax.while_loop(cond, body, init)
     # With nonmonotonic steps the final iterate can sit above the best
@@ -675,11 +689,16 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
     final_state = out.best_state if config.nonmonotonic else out.state
     final_blocks = out.best_blocks if config.nonmonotonic else out.blocks
     final_cost = out.best_cost if config.nonmonotonic else out.cost
+    hist = out.history if config.record_history else (None, None, None, None)
     summary = lm.SolveSummary(
         iterations=out.it,
         initial_cost=cost0,
         final_cost=final_cost,
         final_grad_norm=out.grad_norm,
         final_lambda=out.lam,
+        cost_history=hist[0],
+        lambda_history=hist[1],
+        grad_norm_history=hist[2],
+        step_accepted=hist[3],
     )
     return final_state, summary, final_blocks

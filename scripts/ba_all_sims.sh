@@ -18,16 +18,25 @@ for seq in triangle square penta; do
         python -m ceres_slam_tpu.apps.make_sim "$DATA_DIR" --kind "$seq" \
             --num-states "$NUM_STATES" --sun-noise 0 10 20 30
     fi
+    first=1
     for noise in 0 10 20 30; do
         echo "=== $name gtsun$noise ==="
+        # VO-only pass once per sequence; --sun-only after, like the
+        # reference (ba_all_sims.sh:46-50)
+        extra=""
+        if [ "$first" = 1 ]; then first=0; else extra="--sun-only"; fi
         python -m ceres_slam_tpu.apps.dataset_vo_sun \
             "$DATA_DIR/${name}.csv" \
             "$DATA_DIR/${name}_sun_ref.csv" \
             "$DATA_DIR/${name}_sun_dir_gtsun${noise}.csv" \
-            --window "$WINDOW"
+            --window "$WINDOW" $extra
         python -m ceres_slam_tpu.apps.evaluate \
             "$DATA_DIR/${name}_gtsun${noise}_poses.csv" \
             "$DATA_DIR/${name}_gt_poses.csv" \
             --label "$name gtsun$noise"
     done
+    python -m ceres_slam_tpu.apps.evaluate \
+        "$DATA_DIR/${name}_poses.csv" \
+        "$DATA_DIR/${name}_gt_poses.csv" \
+        --label "$name vo-only"
 done

@@ -20,7 +20,9 @@ def test_dataset_vo_cli(sim_dir, capsys):
     from ceres_slam_tpu.apps.dataset_vo import main
 
     main([os.path.join(sim_dir, "triangle16_vo.csv"), "--window", "0",
-          "--max-iters", "30"])
+          "--max-iters", "30", "--report", "full"])
+    err = capsys.readouterr().err
+    assert "accepted" in err  # --report full prints per-iteration telemetry
     assert os.path.exists(os.path.join(sim_dir, "triangle16_vo_poses.csv"))
     assert os.path.exists(os.path.join(sim_dir, "triangle16_vo_map.csv"))
 

@@ -42,3 +42,27 @@ def test_stopwatch():
     with sw.section("a"):
         sum(range(1000))
     assert "a" in sw.report()
+
+
+def test_window_loop_history():
+    """record_history through the window solver's block-carrying loops
+    (config.record_history -> SolveSummary histories), both strategies."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from ceres_slam_tpu.solver import window
+
+    problem, state = ge._build_example(K=4, J=32, n_obs=128,
+                                       dtype=jnp.float64, seed=5)
+    for strategy in ("lm", "dogleg"):
+        cfg = lm.SolveConfig(max_iters=15, record_history=True,
+                             nonmonotonic=True)
+        sol, summary = window.solve_ba_window(problem, state, cfg,
+                                              strategy=strategy)
+        n = int(summary.iterations)
+        assert n > 0
+        ch = np.asarray(summary.cost_history)
+        assert np.all(np.isfinite(ch[:n])), strategy
+        assert np.all(np.isnan(ch[n:])), strategy
+        assert "final cost" in telemetry.brief_report(summary)
+        assert telemetry.full_report(summary).count("\n") >= n
