@@ -267,14 +267,20 @@ class DatasetProblem:
     # -- window problem construction -----------------------------------------
 
     def _window_budget(self, window: int):
-        """Static pad sizes (obs, active points) across all windows."""
+        """Static pad sizes (obs, active points, obs-per-landmark slots)
+        across all windows, so every window solve shares ONE compiled XLA
+        program (per-window shapes would compile ~K programs and exhaust
+        the process's mmap budget on long trajectories)."""
         K = self.num_states
-        max_obs, max_pts = 1, 1
+        max_obs, max_pts, max_slots = 1, 1, 1
         for k1 in range(0, K - window + 1):
             sel = np.concatenate(self._state_obs[k1 : k1 + window])
             max_obs = max(max_obs, sel.size)
-            max_pts = max(max_pts, np.unique(self.point_ids[sel]).size)
-        return _round_up(max_obs), _round_up(max_pts)
+            _, cnt = np.unique(self.point_ids[sel], return_counts=True)
+            if cnt.size:
+                max_pts = max(max_pts, cnt.size)
+                max_slots = max(max_slots, int(cnt.max()))
+        return _round_up(max_obs), _round_up(max_pts), max_slots
 
     def build_window_problem(
         self,
@@ -372,7 +378,7 @@ class DatasetProblem:
         config = config or dense.SolveConfig(max_iters=100)
         K = self.num_states
         window = window or K
-        n_obs_pad, n_pts_pad = self._window_budget(window)
+        n_obs_pad, n_pts_pad, _ = self._window_budget(window)
         if window < K:
             self.precompute_pair_alignments()
         summaries = []
@@ -505,7 +511,7 @@ class DatasetProblemSun(DatasetProblem):
         config = config or dense.SolveConfig(max_iters=100)
         K = self.num_states
         window = window or K
-        n_obs_pad, n_pts_pad = self._window_budget(window)
+        n_obs_pad, n_pts_pad, o_pad = self._window_budget(window)
         self.precompute_pair_alignments()
         summaries = []
         k_start = 0
@@ -538,7 +544,7 @@ class DatasetProblemSun(DatasetProblem):
                 # [6K+3J]^2 factorization; on TPU/f32 it dispatches the
                 # fused Pallas factor kernel.
                 sol, summary, cov = window_mod.solve_ba_window_with_covariance(
-                    problem, state, 1, config, strategy=strategy
+                    problem, state, 1, config, strategy=strategy, O_pad=o_pad
                 )
                 self.absorb_window_solution(k1, k2, sol, slots)
                 cov = np.asarray(cov)

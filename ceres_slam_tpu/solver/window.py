@@ -80,19 +80,33 @@ class WindowLayout(NamedTuple):
     onehot_jok: jnp.ndarray  # [J, O, K] (for the W contraction)
 
 
-def build_window_layout(problem: dense.StereoBAProblem, K: int, J: int) -> WindowLayout:
+def build_window_layout(problem: dense.StereoBAProblem, K: int, J: int,
+                        O_pad: int | None = None) -> WindowLayout:
     """Host-side: reorder stereo obs landmark-grouped, pad, build one-hots
     and static weights. Observation structure must be concrete (outside
-    jit)."""
+    jit).
+
+    Only VALID observations occupy slots: padding rows (valid=False,
+    point_idx=0) must not count toward landmark 0's slot budget, or O —
+    and with it every [J, O, *] shape — balloons to ~the pad size and
+    varies per window. ``O_pad`` fixes the slot count to a static budget
+    so every window of a sliding-window pass shares ONE compiled program
+    (without it, a 200-state pass compiles ~200 programs and eventually
+    exhausts the process's mmap budget — LLVM 'Cannot allocate memory').
+    """
     st = problem.stereo
     pose_idx = np.asarray(st.pose_idx)
     point_idx = np.asarray(st.point_idx)
     valid = np.asarray(st.valid)
     dtype = np.asarray(st.uvd).dtype
 
-    order = np.argsort(point_idx, kind="stable")
-    counts = np.bincount(point_idx, minlength=J)
+    vrows = np.nonzero(valid)[0]
+    order = vrows[np.argsort(point_idx[vrows], kind="stable")]
+    counts = np.bincount(point_idx[vrows], minlength=J)
     O = max(1, int(counts.max()))
+    if O_pad is not None:
+        assert O <= O_pad, f"O_pad {O_pad} < required slots {O}"
+        O = O_pad
     slot = np.zeros((J, O), np.int64)
     w = np.zeros((J, O), bool)
     starts = np.concatenate([[0], np.cumsum(counts)])
@@ -422,6 +436,7 @@ def solve_ba_window(
     config: lm.SolveConfig = lm.SolveConfig(),
     fused: bool | None = None,
     strategy: str = "lm",
+    O_pad: int | None = None,
 ):
     """Trust-region solve with the scatter-free explicit-Schur window step.
 
@@ -440,7 +455,7 @@ def solve_ba_window(
     """
     K = state0.poses.shape[0]
     J = state0.points.shape[0]
-    layout = build_window_layout(problem, K, J)
+    layout = build_window_layout(problem, K, J, O_pad=O_pad)
     if fused is None:
         fused = _use_fused(state0)
     interpret = jax.devices()[0].platform != "tpu"
@@ -461,6 +476,7 @@ def solve_ba_window_with_covariance(
     config: lm.SolveConfig = lm.SolveConfig(),
     fused: bool | None = None,
     strategy: str = "lm",
+    O_pad: int | None = None,
 ):
     """Window solve + tangent marginal covariance of pose ``pose_idx`` in
     ONE device call — the sliding-window prior-chain engine
@@ -470,7 +486,7 @@ def solve_ba_window_with_covariance(
     dense [6K+3J]^2 factorization)."""
     K = state0.poses.shape[0]
     J = state0.points.shape[0]
-    layout = build_window_layout(problem, K, J)
+    layout = build_window_layout(problem, K, J, O_pad=O_pad)
     pose_idx = jnp.asarray(pose_idx, jnp.int32)
     if fused is None:
         fused = _use_fused(state0)
