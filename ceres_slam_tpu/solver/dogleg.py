@@ -62,17 +62,20 @@ def block_hvp(Hpp_p, Hll_p, U_jo, onehot_jok, v):
     vl = v[6 * K :].reshape(J, 3)
     U4 = U_jo.reshape(J, -1, 6, 3)
 
-    HI = jax.lax.Precision.HIGHEST  # TPU MXU default is one bf16 pass
-    Hvp = jnp.einsum("kab,kb->ka", Hpp_p, vp)
+    # HIGHEST on EVERY product: the TPU MXU default is a single bf16 pass,
+    # and the ill-conditioned BA system (prior chain cond ~1e12) loses the
+    # 2x2 subspace model's accuracy if any link of the H.v chain truncates.
+    HI = jax.lax.Precision.HIGHEST
+    Hvp = jnp.einsum("kab,kb->ka", Hpp_p, vp, precision=HI)
     # W vl: per-observation U4[j,o] @ vl[j], reduced to poses by one-hot.
-    Wvl = jnp.einsum("joab,jb->joa", U4, vl)
+    Wvl = jnp.einsum("joab,jb->joa", U4, vl, precision=HI)
     Hvp = Hvp + jnp.einsum(
         "jok,joa->ka", onehot_jok.astype(dtype), Wvl, precision=HI
     )
     # W^T vp: gather vp to observation slots by one-hot, contract with U4.
     vp_obs = jnp.einsum("jok,ka->joa", onehot_jok.astype(dtype), vp, precision=HI)
-    Hvl = jnp.einsum("jab,jb->ja", Hll_p, vl) + jnp.einsum(
-        "joab,joa->jb", U4, vp_obs
+    Hvl = jnp.einsum("jab,jb->ja", Hll_p, vl, precision=HI) + jnp.einsum(
+        "joab,joa->jb", U4, vp_obs, precision=HI
     )
     return jnp.concatenate([Hvp.reshape(-1), Hvl.reshape(-1)])
 
@@ -307,7 +310,10 @@ def blocks_dogleg_loop(
             lambda n, o: jnp.where(better, n, o), new_blocks, c.best_blocks)
         best_cost = jnp.where(better, new_cost, c.best_cost)
 
-        small = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        # ftol gated on a real decrease: an accepted nonmonotonic uphill
+        # step (actual < 0) must not terminate the solve.
+        small = accept & (actual >= 0.0) & (
+            actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
         done = (
             small
             | (grad_norm <= config.gtol)

@@ -110,7 +110,10 @@ def lm_solve(
             lambda new, old: jnp.where(accept, new, old), new_state, c.state
         )
         cost = jnp.where(accept, new_cost, c.cost)
-        small_decrease = accept & (
+        # ftol fires only on a REAL (non-negative) decrease: an accepted
+        # nonmonotonic uphill step has actual_decrease < 0 and must not
+        # terminate the solve (Ceres tests |cost_change|).
+        small_decrease = accept & (actual_decrease >= 0.0) & (
             actual_decrease <= config.ftol * jnp.maximum(c.cost, 1e-30)
         )
         # A failed linear solve (non-finite dx, zeroed above) is NOT
@@ -266,7 +269,8 @@ def dogleg_solve(
             lambda new, old: jnp.where(accept, new, old), new_state, c.state
         )
         cost = jnp.where(accept, new_cost, c.cost)
-        small_decrease = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        small_decrease = accept & (actual >= 0.0) & (
+            actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
         done = (
             small_decrease
             | (grad_norm <= config.gtol)

@@ -661,7 +661,11 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
         best_blocks = jax.tree.map(
             lambda n, o: jnp.where(better, n, o), new_blocks, c.best_blocks)
         best_cost = jnp.where(better, new_cost, c.best_cost)
-        small = accept & (actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
+        # ftol fires only on a REAL (non-negative) decrease: under
+        # nonmonotonic acceptance an accepted uphill step has actual < 0
+        # and must not terminate the solve (Ceres tests |cost_change|).
+        small = accept & (actual >= 0.0) & (
+            actual <= config.ftol * jnp.maximum(c.cost, 1e-30))
         # failed linear solve (dx zeroed) is a rejected step, not convergence
         done = (
             small

@@ -55,9 +55,22 @@ def configure(jax_config, platform: str | None = None) -> None:
     """
     if platform is None:
         platform = jax_config.jax_platforms or ""
+    if not platform:
+        # Unknown platform string: resolve the ACTUAL backend (this
+        # initializes devices — fine for the apps, which are about to use
+        # them). Guessing from config alone previously enabled the cache on
+        # hosts that resolve to CPU, re-exposing the AOT crash modes above.
+        try:
+            import jax
+
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"  # can't tell -> fail safe (cache off)
     platform = platform.lower()
-    is_cpu = platform.startswith("cpu")
-    if is_cpu:
+    # Enable ONLY when the backend is affirmatively a TPU ("tpu", or this
+    # sandbox's "axon" relay backend).
+    is_tpu = platform.startswith(("tpu", "axon"))
+    if not is_tpu:
         jax_config.update("jax_compilation_cache_dir", "")
         return
     jax_config.update("jax_compilation_cache_dir", cache_dir())

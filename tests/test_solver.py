@@ -309,3 +309,52 @@ class TestNonmonotonic:
         # must reach (at least) the same optimum; best iterate is returned
         assert float(sum_n.final_cost) <= float(sum_m.final_cost) * (1 + 1e-6)
         assert np.allclose(sol_n.poses, sol_m.poses, atol=1e-4)
+
+    def test_uphill_accept_does_not_fire_ftol(self):
+        """Regression (ADVICE r2 #1): an accepted uphill step under
+        nonmonotonic acceptance has actual_decrease < 0; the ftol test
+        `actual <= ftol*cost` is then trivially true and (pre-fix) killed
+        the solve at the first ridge crossing. Scripted 1-D descent:
+        cost 100 -> 10 -> 50 (uphill, accepted vs max(recent)=100) -> 1e-8.
+        The solve must walk through the ridge and reach 1e-8, not stop at
+        10."""
+        from ceres_slam_tpu.solver import lm
+
+        costs = jnp.asarray([100.0, 10.0, 50.0, 1e-8])
+
+        def cost_fn(x):
+            idx = jnp.clip(jnp.round(x[0]).astype(jnp.int32), 0, 3)
+            return costs[idx]
+
+        def step_fn(x, lam):
+            one = jnp.ones((1,), costs.dtype)
+            return one, jnp.asarray(1.0, costs.dtype), jnp.asarray(
+                1.0, costs.dtype)
+
+        cfg = lm.SolveConfig(max_iters=10, nonmonotonic=True,
+                             ftol=1e-9, gtol=0.0)
+        _, summary = lm.lm_solve(
+            jnp.zeros((1,), costs.dtype), cfg, cost_fn,
+            step_fn, lambda x, dx: x + dx,
+        )
+        assert float(summary.final_cost) <= 1e-6
+
+    def test_window_uphill_accept_does_not_fire_ftol(self):
+        """Same defect in window.blocks_lm_loop / dogleg.blocks_dogleg_loop:
+        a far-from-minimum start with nonmonotonic=True must reach the
+        monotone run's final cost (the pre-fix loops could stop orders of
+        magnitude short once an uphill step was accepted)."""
+        from ceres_slam_tpu.solver import window
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(23), K=8, J=80,
+                                        noise_px=0.3)
+        init = perturb(gt, key)
+        cfg_m = dense.SolveConfig(max_iters=120, nonmonotonic=False)
+        cfg_n = dense.SolveConfig(max_iters=120, nonmonotonic=True)
+        for strategy in ("lm", "dogleg"):
+            _, sm = window.solve_ba_window(problem, init, cfg_m,
+                                           strategy=strategy)
+            _, sn = window.solve_ba_window(problem, init, cfg_n,
+                                           strategy=strategy)
+            assert (float(sn.final_cost)
+                    <= float(sm.final_cost) * (1 + 1e-6)), strategy
