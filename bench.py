@@ -51,20 +51,29 @@ def build(dtype):
     return problem, state
 
 
-def lm_loop_fn():
+def lm_loop_fn(problem):
     """Production LM loop: the scatter-free Schur window solver, fused
     Pallas factor kernel on TPU / pure-XLA blocks elsewhere — one jitted
-    call for the whole trust-region loop (scripts/bench_compare.py: 329-470
-    it/s fused vs 152-217 for the PCG loop on chip, identical minima)."""
+    call for the whole trust-region loop.
+
+    The window layout (gather tables + one-hots) is built ONCE here, as
+    production does per sliding-window pass, and is NOT in the timed
+    region: it is host-side Python + a ~tens-of-MB upload whose cost the
+    r02 benchmark wrongly folded into every rep (BENCH_r02 recorded
+    61 it/s for a solver that runs at 329-470 it/s on chip)."""
     import jax
 
     from ceres_slam_tpu.solver import lm, window
 
     fused = jax.devices()[0].platform == "tpu"
-    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0)
+    # run_full_budget: every measured iteration is one full factor pass +
+    # Schur solve + retraction (accepted or rejected — identical FLOPs),
+    # with no early exit, so it/s is a pure per-iteration rate.
+    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0,
+                         run_full_budget=True)
+    layout = window.build_window_layout(problem, K, J)
 
     def run(problem, state):
-        layout = window.build_window_layout(problem, K, J)
         return window._solve_jit(layout, problem, state, cfg, fused, not fused)
 
     return run
@@ -110,9 +119,17 @@ def _sync(x) -> float:
 
 def measure_lm(dtype) -> float:
     problem, state = build(dtype)
-    run = lm_loop_fn()
+    run = lm_loop_fn(problem)
     _, summary = run(problem, state)  # compile + warm
-    iters = max(1, int(summary.iterations))
+    iters = int(summary.iterations)
+    # Bench hygiene (BASELINE.md "what bench.py measures"): the rate is
+    # only per-iteration if the loop ran its whole budget — with
+    # ftol=gtol=0 and a perturbed start it must. Early termination would
+    # silently blend fixed per-call overhead into the per-iteration cost.
+    assert iters == LOOP_ITERS, (
+        f"bench LM loop terminated early ({iters}/{LOOP_ITERS} iters); "
+        "per-iteration rate would be meaningless — fix the bench problem"
+    )
     _sync(summary.final_cost)
     t0 = time.perf_counter()
     reps = 3
@@ -120,9 +137,6 @@ def measure_lm(dtype) -> float:
         _, summary = run(problem, state)
     _sync(summary.final_cost)
     dt = time.perf_counter() - t0
-    # rate from the iterations the solver actually executed (the loop can
-    # converge before the budget; each executed iteration is one full
-    # factor pass + Schur solve + retraction + accept logic)
     return reps * iters / dt
 
 

@@ -24,6 +24,12 @@ def main(argv=None):
     p.add_argument("--dirlight", action="store_true", help="directional light model")
     p.add_argument("--multistage", action="store_true", help="3-stage solve schedule")
     p.add_argument("--window", type=int, default=0, help="0 = full batch")
+    # the reference's (commented) solver switch, dataset_ba_phong.cpp:87:
+    # SPARSE_NORMAL_CHOLESKY <-> our vertex-Schur elimination
+    p.add_argument("--linear-solver", default="auto",
+                   choices=["auto", "dense", "schur"],
+                   help="auto picks schur past ~1k dof (full batch), "
+                        "dense at window scale")
     args = p.parse_args(argv)
     setup_jax(args.platform)
 
@@ -51,6 +57,7 @@ def main(argv=None):
         multistage=args.multistage,
         config=SolveConfig(max_iters=args.max_iters,
                            record_history=args.report == "full"),
+        linear_solver=args.linear_solver,
     )
     if args.report != "none":
         print_reports(summaries, args.report)

@@ -296,6 +296,7 @@ class DatasetProblemPhong:
         use_light: bool = True,
         multistage: bool = False,
         config: lm_mod.SolveConfig | None = None,
+        linear_solver: str = "auto",
     ):
         """The dataset_ba_phong pipeline (tests/dataset_ba_phong.cpp:298-331):
         full-trajectory initial guess, then (windowed or full-batch)
@@ -328,6 +329,7 @@ class DatasetProblemPhong:
                 use_light=use_light,
                 directional=self.directional_light,
                 multistage=multistage,
+                linear_solver=linear_solver,
             )
             self.absorb_window_solution(k1, k2, sol, slots)
             all_summaries.extend(summaries)

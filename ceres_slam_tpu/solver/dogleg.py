@@ -320,6 +320,8 @@ def blocks_dogleg_loop(
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (radius <= 1e-11)
         )
+        if config.run_full_budget:
+            done = jnp.asarray(False)
         history = c.history
         if config.record_history:
             ch, rh, gh, ah = history

@@ -31,6 +31,11 @@ class SolveConfig(NamedTuple):
     # Record per-iteration cost/lambda/grad/accept trajectories into the
     # SolveSummary (telemetry.full_report; ceres FullReport equivalent).
     record_history: bool = False
+    # Benchmarking only: ignore every convergence test and run exactly
+    # max_iters iterations (each one full factor pass + linear solve +
+    # retraction, accepted or not) so measured it/s is a pure
+    # per-iteration rate with no early-exit dependence.
+    run_full_budget: bool = False
 
 
 class SolveSummary(NamedTuple):
@@ -124,6 +129,8 @@ def lm_solve(
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
+        if config.run_full_budget:
+            done = jnp.asarray(False)
         history = c.history
         if record_history:
             ch, lh, gh, ah = history

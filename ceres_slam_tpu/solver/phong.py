@@ -253,7 +253,8 @@ def phong_retract(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "use_light", "directional", "freeze_geometry"),
+    static_argnames=("config", "use_light", "directional", "freeze_geometry",
+                     "linear_solver"),
 )
 def solve_phong_ba(
     problem: PhongBAProblem,
@@ -262,17 +263,41 @@ def solve_phong_ba(
     use_light: bool = True,
     directional: bool = False,
     freeze_geometry: bool = False,
+    linear_solver: str = "dense",
 ):
-    """One LM solve of the Phong BA problem at the given stage flags."""
+    """One LM solve of the Phong BA problem at the given stage flags.
+
+    ``linear_solver``: 'dense' (full [D, D] Cholesky — fine at window
+    scale) or 'schur' (vertex-block elimination, `solver/phong_schur.py`
+    — the SPARSE_NORMAL_CHOLESKY role for full-batch problems,
+    dataset_ba_phong.cpp:87)."""
     cost_fn = lambda s: phong_cost(problem, s, use_light, directional)
-    normal_eq = lambda s: phong_normal_equations(
-        problem, s, use_light, directional, freeze_geometry
-    )
-    step = lm.dense_cholesky_step(normal_eq)
+    if linear_solver == "schur":
+        from ceres_slam_tpu.solver import phong_schur
+
+        step = phong_schur.phong_schur_step(
+            problem, use_light, directional, freeze_geometry
+        )
+    else:
+        normal_eq = lambda s: phong_normal_equations(
+            problem, s, use_light, directional, freeze_geometry
+        )
+        step = lm.dense_cholesky_step(normal_eq)
     retract = lambda s, dx: phong_retract(
         problem, s, dx, use_light, directional, freeze_geometry
     )
     return lm.lm_solve(state0, config, cost_fn, step, retract)
+
+
+def auto_linear_solver(state: PhongState) -> str:
+    """Size-based solver selection: the dense [D, D] factorization wins at
+    window scale; past ~1k dof the vertex-Schur reduction (whose big cost
+    scales with D_r = 6K + 4M + 3, not D) takes over."""
+    K = state.poses.shape[0]
+    J = state.points.shape[0]
+    M = state.phong.shape[0]
+    D = 6 * K + 6 * J + 4 * M + 3
+    return "schur" if D > 1024 else "dense"
 
 
 def solve_phong_staged(
@@ -282,24 +307,30 @@ def solve_phong_staged(
     use_light: bool = True,
     directional: bool = False,
     multistage: bool = False,
+    linear_solver: str = "auto",
 ):
     """The reference's solve schedule (tests/dataset_ba_phong.cpp:93-252):
     optional stage 1 (geometry only) and stage 2 (lighting only, geometry
     frozen), then the joint solve."""
+    if linear_solver == "auto":
+        linear_solver = auto_linear_solver(state)
     summaries = []
     if multistage:
         state, s1 = solve_phong_ba(
-            problem, state, config, use_light=False, directional=directional
+            problem, state, config, use_light=False, directional=directional,
+            linear_solver=linear_solver,
         )
         summaries.append(s1)
         if use_light:
             state, s2 = solve_phong_ba(
                 problem, state, config,
                 use_light=True, directional=directional, freeze_geometry=True,
+                linear_solver=linear_solver,
             )
             summaries.append(s2)
     state, s3 = solve_phong_ba(
-        problem, state, config, use_light=use_light, directional=directional
+        problem, state, config, use_light=use_light, directional=directional,
+        linear_solver=linear_solver,
     )
     summaries.append(s3)
     return state, summaries

@@ -673,6 +673,8 @@ def blocks_lm_loop(problem, state0, config, total_blocks, onehot_jok,
             | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
             | (c.lam >= config.max_lambda)
         )
+        if config.run_full_budget:
+            done = jnp.asarray(False)
         history = c.history
         if config.record_history:
             ch, lh, gh, ah = history

@@ -35,7 +35,16 @@ def main():
     res = {"platform": jax.devices()[0].platform,
            "K": bench.K, "J": bench.J, "N": bench.N_OBS, "iters": ITERS}
 
-    run_pcg = bench.lm_loop_fn()
+    # genuinely PCG: the matrix-free Schur-PCG LM loop (scatter-free
+    # gather tables on TPU), NOT the window solver bench.py headlines
+    from ceres_slam_tpu.solver import pcg
+
+    tables = None
+    if jax.devices()[0].platform == "tpu":
+        tables = pcg.build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx,
+            bench.K, bench.J)
+    run_pcg = bench.pcg_loop_fn(tables)
     res["pcg_it_s"] = round(ITERS / timed(run_pcg, problem, state), 1)
 
     cfg = lm.SolveConfig(max_iters=ITERS, ftol=0.0, gtol=0.0)

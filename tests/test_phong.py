@@ -199,3 +199,131 @@ def test_phong_dataset_windowed(tmp_path):
     assert all(np.isfinite(float(s.final_cost)) for s in summaries)
     ate = metrics.ate_translation(prob.poses, ds.poses_gt)
     assert ate < 0.3, f"windowed Phong BA ATE {ate}"
+
+
+class TestPhongSchur:
+    """Vertex-Schur elimination (solver/phong_schur.py) vs the dense path —
+    the reference's SPARSE_NORMAL_CHOLESKY role (dataset_ba_phong.cpp:87)."""
+
+    @pytest.mark.parametrize("directional", [False, True])
+    @pytest.mark.parametrize("use_light", [True, False])
+    def test_step_matches_dense(self, directional, use_light):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(
+            jax.random.PRNGKey(6), directional=directional, noise=0.2
+        )
+        init = perturb(gt, jax.random.PRNGKey(7), directional)
+        lam = jnp.asarray(1e-3, jnp.float64)
+
+        normal_eq = lambda s: phong.phong_normal_equations(
+            problem, s, use_light, directional, False
+        )
+        dx_d, gn_d, pred_d = lm.dense_cholesky_step(normal_eq)(init, lam)
+        step = phong_schur.phong_schur_step(
+            problem, use_light, directional, False
+        )
+        dx_s, gn_s, pred_s = step(init, lam)
+
+        scale = float(jnp.max(jnp.abs(dx_d)))
+        np.testing.assert_allclose(
+            np.asarray(dx_s), np.asarray(dx_d), atol=1e-9 * scale
+        )
+        np.testing.assert_allclose(float(gn_s), float(gn_d), rtol=1e-9)
+        np.testing.assert_allclose(float(pred_s), float(pred_d), rtol=1e-7)
+
+    def test_step_matches_dense_frozen_geometry(self):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(jax.random.PRNGKey(8), noise=0.2)
+        init = perturb(gt, jax.random.PRNGKey(9), False)
+        lam = jnp.asarray(1e-2, jnp.float64)
+        normal_eq = lambda s: phong.phong_normal_equations(
+            problem, s, True, False, True
+        )
+        dx_d, _, _ = lm.dense_cholesky_step(normal_eq)(init, lam)
+        dx_s, _, _ = phong_schur.phong_schur_step(problem, True, False, True)(
+            init, lam
+        )
+        scale = max(float(jnp.max(jnp.abs(dx_d))), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(dx_s), np.asarray(dx_d), atol=1e-9 * scale
+        )
+        # geometry stays frozen through the schur path too
+        K = init.poses.shape[0]
+        J = init.points.shape[0]
+        assert float(jnp.max(jnp.abs(dx_s[: 6 * K]))) == 0.0
+        assert float(jnp.max(jnp.abs(dx_s[6 * K : 6 * K + 3 * J]))) == 0.0
+
+    @pytest.mark.parametrize("directional", [False, True])
+    def test_solve_reaches_dense_minimum(self, directional):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(
+            jax.random.PRNGKey(10), directional=directional, noise=0.1
+        )
+        init = perturb(gt, jax.random.PRNGKey(11), directional)
+        cfg = lm.SolveConfig(max_iters=80)
+        sol_d, sum_d = phong.solve_phong_ba(
+            problem, init, cfg, use_light=True, directional=directional
+        )
+        sol_s, sum_s = phong_schur.solve_phong_ba_schur(
+            problem, init, cfg, use_light=True, directional=directional
+        )
+        np.testing.assert_allclose(
+            float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol_s.poses), np.asarray(sol_d.poses), atol=1e-5
+        )
+
+    def test_invalid_vertices_masked(self):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(jax.random.PRNGKey(12), noise=0.2)
+        # invalidate some vertices (padding semantics)
+        vv = problem.vertex_valid.at[-5:].set(False)
+        problem = problem._replace(vertex_valid=vv)
+        init = perturb(gt, jax.random.PRNGKey(13), False)
+        lam = jnp.asarray(1e-3, jnp.float64)
+        normal_eq = lambda s: phong.phong_normal_equations(
+            problem, s, True, False, False
+        )
+        dx_d, _, _ = lm.dense_cholesky_step(normal_eq)(init, lam)
+        dx_s, _, _ = phong_schur.phong_schur_step(problem, True, False, False)(
+            init, lam
+        )
+        scale = float(jnp.max(jnp.abs(dx_d)))
+        np.testing.assert_allclose(
+            np.asarray(dx_s), np.asarray(dx_d), atol=1e-9 * scale
+        )
+
+    def test_fullbatch_200_states_via_schur(self, tmp_path):
+        """The reference's default mode is FULL-BATCH Phong BA
+        (dataset_ba_phong.cpp:314-327) backed by SPARSE_NORMAL_CHOLESKY;
+        at 200 states the dense [D, D] path is the limiting factor and the
+        vertex-Schur reduction must carry the solve (auto selection)."""
+        from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
+        from ceres_slam_tpu.utils import metrics, sim
+
+        ds = sim.generate_phong(num_states=200, num_points=300, seed=11)
+        track = str(tmp_path / "p200.csv")
+        sim.write_phong_track_csv(ds, track)
+        prob = DatasetProblemPhong.read_csv(track)
+        # auto must pick schur at this scale (D = 6K + 6J + 4M + 3 > 1024)
+        dummy = phong.PhongState(
+            poses=jnp.zeros((prob.num_states, 12)),
+            points=jnp.zeros((prob.num_vertices, 3)),
+            normals=jnp.zeros((prob.num_vertices, 3)),
+            phong=jnp.zeros((prob.num_materials, 3)),
+            textures=jnp.zeros(prob.num_materials),
+            light=jnp.zeros(3),
+        )
+        assert phong.auto_linear_solver(dummy) == "schur"
+        summaries = prob.solve_full(
+            window=0, use_light=True, config=lm.SolveConfig(max_iters=50),
+            linear_solver="auto",
+        )
+        assert all(np.isfinite(float(s.final_cost)) for s in summaries)
+        ate = metrics.ate_translation(prob.poses, ds.poses_gt)
+        assert ate < 0.05, f"full-batch schur Phong BA ATE {ate}"
