@@ -20,6 +20,11 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=0, help="0 = full batch")
     p.add_argument("--dtype", default="float64", choices=["float64", "float32"],
                    help="solver dtype (float32 = fast TPU mode)")
+    # the reference's commented linear-solver switches (dataset_vo.cpp:65-74)
+    p.add_argument("--linear-solver", default="auto",
+                   choices=["auto", "dense", "window", "pcg"],
+                   help="auto selects by problem size: dense at window "
+                        "scale, scatter-free Schur to K<=128, PCG beyond")
     args = p.parse_args(argv)
     setup_jax(args.platform, x64=(args.dtype == "float64"))
 
@@ -39,6 +44,7 @@ def main(argv=None):
         window=args.window,
         config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
                            record_history=args.report == "full"),
+        linear_solver=args.linear_solver,
     )
     if args.report != "none":
         print_reports(summaries, args.report)

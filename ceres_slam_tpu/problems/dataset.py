@@ -371,14 +371,39 @@ class DatasetProblem:
 
     # -- drivers --------------------------------------------------------------
 
-    def solve_full(self, window: int = 0, config: dense.SolveConfig | None = None):
+    @staticmethod
+    def auto_linear_solver(Kw: int, n_pts: int) -> str:
+        """Size-based solver selection (the reference's commented solver
+        switches, tests/dataset_vo.cpp:65-74): dense Cholesky at window
+        scale, the scatter-free explicit-Schur window solver for medium
+        batches (its reduced S is 6K x 6K dense), matrix-free Schur-PCG
+        at KITTI full-batch scale where even the [J, O, K] window layout
+        stops paying."""
+        dof = 6 * Kw + 3 * n_pts
+        if dof <= 1536:
+            return "dense"
+        return "window" if Kw <= 128 else "pcg"
+
+    def solve_full(self, window: int = 0,
+                   config: dense.SolveConfig | None = None,
+                   linear_solver: str = "auto"):
         """The `dataset_vo` pipeline (tests/dataset_vo.cpp:119-131): for each
         window: VO initial guess, window BA with the first pose fixed,
-        reset_points. window=0 means full batch."""
+        reset_points. window=0 means full batch.
+
+        ``linear_solver``: 'auto' | 'dense' | 'window' | 'pcg' — all three
+        backends are cross-validated to the same minimum (tests/
+        test_window.py, test_solver.py); auto picks by problem size so a
+        KITTI-scale full-batch run never materializes the dense H."""
+        from ceres_slam_tpu.solver import pcg as pcg_mod
+
         config = config or dense.SolveConfig(max_iters=100)
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad, _ = self._window_budget(window)
+        solver = linear_solver
+        if solver == "auto":
+            solver = self.auto_linear_solver(window, n_pts_pad)
         if window < K:
             self.precompute_pair_alignments()
         summaries = []
@@ -388,7 +413,13 @@ class DatasetProblem:
             problem, state, slots = self.build_window_problem(
                 k1, k2, n_obs_pad, n_pts_pad, gauge_fix_first=True
             )
-            sol, summary = dense.solve_ba(problem, state, config)
+            if solver == "window":
+                sol, summary = window_mod.solve_ba_window(
+                    problem, state, config)
+            elif solver == "pcg":
+                sol, summary = pcg_mod.solve_ba_pcg(problem, state, config)
+            else:
+                sol, summary = dense.solve_ba(problem, state, config)
             self.absorb_window_solution(k1, k2, sol, slots)
             summaries.append(summary)
             self.reset_points()

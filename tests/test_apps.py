@@ -95,3 +95,40 @@ def test_stereo_vo_cli_files(tmp_path, capsys):
           "--right-glob", str(tmp_path / "*_right.npy"), "--out", out])
     poses = csvio.read_poses_csv(out + "_poses.csv")
     assert poses.shape == (4, 12)
+
+
+def test_auto_linear_solver_selection():
+    """Size-based solver selection for dataset_vo full batch (the
+    reference's commented solver switches, dataset_vo.cpp:65-74): a
+    KITTI-scale run must never pick the dense [D, D] path."""
+    from ceres_slam_tpu.problems.dataset import DatasetProblem
+
+    assert DatasetProblem.auto_linear_solver(2, 100) == "dense"
+    assert DatasetProblem.auto_linear_solver(64, 2048) == "window"
+    assert DatasetProblem.auto_linear_solver(256, 8192) == "pcg"
+    assert DatasetProblem.auto_linear_solver(1024, 32768) == "pcg"
+
+
+def test_dataset_vo_cli_full_batch_scalable_solver(sim_dir):
+    """Full-batch dataset_vo through a non-dense linear solver: the app
+    must produce the same trajectory family as the dense run (all three
+    backends are cross-validated elsewhere; this exercises the CLI
+    plumbing end-to-end)."""
+    from ceres_slam_tpu.apps.dataset_vo import main
+
+    def read_poses(path):
+        return np.loadtxt(path, delimiter=",", skiprows=1)
+
+    vo = os.path.join(sim_dir, "triangle16_vo.csv")
+    out = os.path.join(sim_dir, "triangle16_vo_poses.csv")
+    main([vo, "--window", "0", "--max-iters", "30",
+          "--linear-solver", "window"])
+    poses_w = read_poses(out)
+    main([vo, "--window", "0", "--max-iters", "30",
+          "--linear-solver", "pcg"])
+    poses_p = read_poses(out)
+    main([vo, "--window", "0", "--max-iters", "30",
+          "--linear-solver", "dense"])
+    poses_d = read_poses(out)
+    np.testing.assert_allclose(poses_w, poses_d, atol=1e-4)
+    np.testing.assert_allclose(poses_p, poses_d, atol=1e-4)
