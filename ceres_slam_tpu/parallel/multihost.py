@@ -101,14 +101,15 @@ def put_global(x, sharding: NamedSharding) -> jax.Array:
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
-def shard_problem_global(problem, mesh: Mesh, axis: str = "obs"):
+def shard_problem_global(problem, mesh: Mesh):
     """Multi-host counterpart of `sharded_ba.shard_problem`: observation
-    arrays sharded along ``axis`` across ALL processes' devices,
-    everything else replicated."""
+    arrays sharded jointly over ALL mesh axes across every process's
+    devices (1-D and hybrid [DCN, ICI] meshes alike), everything else
+    replicated."""
     from ceres_slam_tpu.parallel import sharded_ba
 
     stereo = sharded_ba.pad_obs_to_multiple(problem.stereo, mesh.devices.size)
-    obs_sh = NamedSharding(mesh, P(axis))
+    obs_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     rep = NamedSharding(mesh, P())
     stereo = jax.tree.map(lambda x: put_global(x, obs_sh), stereo)
     rest = jax.tree.map(lambda x: put_global(x, rep), problem._replace(stereo=None))

@@ -39,6 +39,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (OBS_AXIS,))
 
 
+def _axes(mesh: Mesh) -> tuple:
+    """All mesh axis names: observations shard jointly over every axis, so
+    the same assembly code runs on a 1-D ICI mesh and on the hybrid
+    [DCN, ICI] mesh (`multihost.make_hybrid_mesh`) — XLA routes the inner
+    axis of the psum over ICI and the outer over DCN."""
+    return tuple(mesh.axis_names)
+
+
 def pad_obs_to_multiple(stereo: dense.StereoObs, n: int) -> dense.StereoObs:
     """Pad the observation batch so it divides evenly across n devices."""
     N = stereo.uvd.shape[0]
@@ -60,7 +68,7 @@ def shard_problem(problem: dense.StereoBAProblem, mesh: Mesh) -> dense.StereoBAP
     everything else replicated."""
     n = mesh.devices.size
     stereo = pad_obs_to_multiple(problem.stereo, n)
-    obs_sharding = NamedSharding(mesh, P(OBS_AXIS))
+    obs_sharding = NamedSharding(mesh, P(_axes(mesh)))
     rep = NamedSharding(mesh, P())
     stereo = dense.StereoObs(
         uvd=jax.device_put(stereo.uvd, obs_sharding),
@@ -86,6 +94,8 @@ def make_sharded_blocks(mesh: Mesh):
     all-reducing the dense [D, D] Hessian, and the exact quantity both the
     dense and Schur solvers consume."""
 
+    axes = _axes(mesh)
+
     def blocks_fn(problem: dense.StereoBAProblem, state: dense.BAState):
         camera = problem.camera
         point_valid = problem.point_valid
@@ -93,14 +103,14 @@ def make_sharded_blocks(mesh: Mesh):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(OBS_AXIS), P()),
+            in_specs=(P(axes), P()),
             out_specs=P(),
         )
         def stereo_part(stereo_shard, state_rep):
             blocks = dense.stereo_block_contrib(
                 camera, stereo_shard, point_valid, state_rep
             )
-            return jax.tree.map(lambda x: jax.lax.psum(x, OBS_AXIS), blocks)
+            return jax.tree.map(lambda x: jax.lax.psum(x, axes), blocks)
 
         blocks = stereo_part(problem.stereo, state)
         Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
@@ -123,6 +133,8 @@ def make_sharded_normal_eq(mesh: Mesh):
 def make_sharded_cost(mesh: Mesh):
     """Cost with the stereo term psum-reduced over observation shards."""
 
+    axes = _axes(mesh)
+
     def cost(problem: dense.StereoBAProblem, state: dense.BAState):
         from ceres_slam_tpu.ops import factors as factors_mod
 
@@ -132,7 +144,7 @@ def make_sharded_cost(mesh: Mesh):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(OBS_AXIS), P()),
+            in_specs=(P(axes), P()),
             out_specs=P(),
         )
         def stereo_cost(stereo_shard, state_rep):
@@ -144,7 +156,7 @@ def make_sharded_cost(mesh: Mesh):
                 stereo_shard.stiffness,
             )
             v = stereo_shard.valid & point_valid[stereo_shard.point_idx]
-            return jax.lax.psum(jnp.sum(jnp.sum(r * r, axis=-1) * v), OBS_AXIS)
+            return jax.lax.psum(jnp.sum(jnp.sum(r * r, axis=-1) * v), axes)
 
         c_stereo = stereo_cost(problem.stereo, state)
         # replicated sun + prior terms

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ceres_slam_tpu.ops import factors
-from ceres_slam_tpu.parallel.sharded_ba import OBS_AXIS, shard_problem
+from ceres_slam_tpu.parallel.sharded_ba import _axes, shard_problem
 from ceres_slam_tpu.solver import dense, lm, pcg
 from ceres_slam_tpu.solver.schur import _inv3x3
 
@@ -51,6 +51,8 @@ def _local_obs_quantities(problem, state):
 def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
     """Build the distributed damped-solve step for the shared LM core."""
 
+    axes = _axes(mesh)
+
     def step(problem, state, lam):
         K = state.poses.shape[0]
         J = state.points.shape[0]
@@ -61,7 +63,7 @@ def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
             mesh=mesh,
             in_specs=(
                 jax.tree.map(lambda _: P(), problem)._replace(
-                    stereo=jax.tree.map(lambda _: P(OBS_AXIS), problem.stereo)
+                    stereo=jax.tree.map(lambda _: P(axes), problem.stereo)
                 ),
                 P(),
                 P(),
@@ -70,7 +72,7 @@ def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
         )
         def solve_shard(problem, state, lam):
             seg = jax.ops.segment_sum
-            psum = lambda x: jax.lax.psum(x, OBS_AXIS)
+            psum = lambda x: jax.lax.psum(x, axes)
             r, J_pose, J_pt, U, pose_idx, point_idx = _local_obs_quantities(
                 problem, state
             )

@@ -59,6 +59,16 @@ def main():
         np.abs(np.asarray(H.addressable_data(0)) - np.asarray(H_ref)).max()
     )
 
+    # hybrid [DCN, ICI] mesh (multihost.make_hybrid_mesh): observations
+    # shard jointly over both axes; the assembled system must be identical
+    hmesh = multihost.make_hybrid_mesh()
+    assert hmesh.devices.shape == (nproc, 4), hmesh.devices.shape
+    sharded_h = multihost.shard_problem_global(problem, hmesh)
+    H_h, _ = jax.jit(sharded_ba.make_sharded_normal_eq(hmesh))(sharded_h, init)
+    H_err_hybrid = float(
+        np.abs(np.asarray(H_h.addressable_data(0)) - np.asarray(H_ref)).max()
+    )
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
@@ -68,7 +78,7 @@ def main():
         put_replicated=lambda x: multihost.put_global(x, rep),
     )
     cost = float(np.asarray(summary.final_cost.addressable_data(0)))
-    print(f"OK {cost:.12e} {H_err:.3e}", flush=True)
+    print(f"OK {cost:.12e} {max(H_err, H_err_hybrid):.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -69,3 +69,44 @@ class TestShardedPCG:
         )
         assert np.allclose(float(summary.final_cost), float(sum_ref.final_cost), rtol=1e-5)
         assert np.allclose(sol.poses, sol_ref.poses, atol=1e-5)
+
+
+class TestHybridMesh:
+    """Hybrid [DCN, ICI] 2-D mesh (multihost.make_hybrid_mesh layout):
+    observations shard jointly over both axes; assembly and solves must
+    agree exactly with the single-device path."""
+
+    @pytest.fixture(scope="class")
+    def hmesh(self):
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices())
+        if devs.size < 4 or devs.size % 2:
+            pytest.skip("needs >=4 (virtual) devices")
+        return Mesh(devs.reshape(2, -1), ("dcn", "obs"))
+
+    def test_normal_eq_matches_dense(self, hmesh):
+        problem, gt, key = make_problem(jax.random.PRNGKey(3), K=4, J=50,
+                                        noise_px=0.4)
+        init = perturb(gt, key)
+        H_ref, g_ref = dense.ba_normal_equations(problem, init)
+        sharded = sharded_ba.shard_problem(problem, hmesh)
+        H, g = jax.jit(sharded_ba.make_sharded_normal_eq(hmesh))(sharded, init)
+        assert np.allclose(H, H_ref, atol=1e-9)
+        assert np.allclose(g, g_ref, atol=1e-9)
+
+    def test_hybrid_pcg_solve_matches_dense(self, hmesh):
+        from ceres_slam_tpu.parallel import sharded_pcg
+
+        problem, gt, key = make_problem(jax.random.PRNGKey(4), K=3, J=40,
+                                        noise_px=0.3)
+        init = perturb(gt, key)
+        sol_ref, sum_ref = dense.solve_ba(problem, init,
+                                          dense.SolveConfig(max_iters=20))
+        sol, summary = sharded_pcg.solve_ba_pcg_sharded(
+            problem, init, hmesh, dense.SolveConfig(max_iters=20),
+            max_cg_iters=200, cg_tol=1e-12,
+        )
+        assert np.allclose(float(summary.final_cost),
+                           float(sum_ref.final_cost), rtol=1e-6)
+        assert np.allclose(sol.poses, sol_ref.poses, atol=1e-6)
