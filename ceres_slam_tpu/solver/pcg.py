@@ -180,21 +180,34 @@ def _gather_sum_by_pose(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ko...,ko->k...", g, w)
 
 
+def make_schur_matvec_gather(b: ObsBlocks, t: ObsTables):
+    """Build ``v -> S v`` with gather-table reductions (no scatters).
+
+    The [J,O,6,3] / [K,O,6,3] gathers of U and the index translations are
+    CG-loop-invariant, so they are materialized ONCE here (outside the
+    lax.while_loop that calls the closure): per CG iteration only the
+    small [K,6] / [J,3] vectors are gathered. At XXL scale this removes
+    ~80 MB of gather traffic from every matvec (the dominant serial cost
+    of the CG chain)."""
+    dtype = b.U.dtype
+    # weights folded into the hoisted U copies (padding rows -> 0)
+    U_l = b.U[t.by_point] * t.by_point_w.astype(dtype)[..., None, None]
+    pose_of_l = b.pose_idx[t.by_point]  # [J, O_l]
+    U_p = b.U[t.by_pose] * t.by_pose_w.astype(dtype)[..., None, None]
+    point_of_p = b.point_idx[t.by_pose]  # [K, O_p]
+
+    def matvec(v: jnp.ndarray) -> jnp.ndarray:
+        Utv = jnp.einsum("joab,joa->jb", U_l, v[pose_of_l])  # [J, 3]
+        y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)
+        Uy = jnp.einsum("koab,kob->ka", U_p, y[point_of_p])  # [K, 6]
+        return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
+
+    return matvec
+
+
 def schur_matvec_gather(b: ObsBlocks, t: ObsTables, v: jnp.ndarray) -> jnp.ndarray:
-    """``S v`` with gather-table reductions (no scatters)."""
-    dtype = v.dtype
-    # U^T v per landmark: gather obs of each landmark + their poses.
-    U_l = b.U[t.by_point]  # [J, O, 6, 3]
-    v_l = v[b.pose_idx[t.by_point]]  # [J, O, 6]
-    w_l = t.by_point_w.astype(dtype)
-    Utv = jnp.einsum("joab,joa,jo->jb", U_l, v_l, w_l)  # [J, 3]
-    y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)
-    # U y per pose
-    U_p = b.U[t.by_pose]  # [K, O, 6, 3]
-    y_p = y[b.point_idx[t.by_pose]]  # [K, O, 3]
-    w_p = t.by_pose_w.astype(dtype)
-    Uy = jnp.einsum("koab,kob,ko->ka", U_p, y_p, w_p)
-    return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
+    """``S v`` with gather-table reductions (single-shot convenience)."""
+    return make_schur_matvec_gather(b, t)(v)
 
 
 def schur_matvec(b: ObsBlocks, v: jnp.ndarray) -> jnp.ndarray:
@@ -242,7 +255,7 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
     """Block-Jacobi preconditioned CG on the reduced camera system.
     With ``tables``, matvecs use gather-table reductions (no scatters)."""
     precond = _block_precond(schur_diag_blocks(b, tables))
-    matvec = (lambda v: schur_matvec_gather(b, tables, v)) if tables is not None \
+    matvec = make_schur_matvec_gather(b, tables) if tables is not None \
         else (lambda v: schur_matvec(b, v))
 
     r0 = rhs

@@ -1,0 +1,121 @@
+"""Scale sweep: BA LM iterations/s at S/XL/XXL problem sizes, plus
+dogleg-vs-LM on the fused window solver at bench scale.
+
+Measures the matrix-free Schur-PCG LM loop (the full-batch path,
+`solver/pcg.py`) at the three scales BASELINE.md tracks:
+
+    S   : K=64,   J=2048,  N=16384   (KITTI window batch — bench.py scale)
+    XL  : K=256,  J=8192,  N=65536   (multi-window batch)
+    XXL : K=1024, J=32768, N=262144  (KITTI-drive full batch)
+
+and the window solver under both trust-region strategies at S scale
+(the flagship defaults to dogleg — apps/common.py — so the default
+configuration's chip cost must be on record, VERDICT r2 weak #8).
+
+Run on TPU (default) and on CPU (`JAX_PLATFORMS=cpu python
+scripts/bench_xl.py`) for the vs-CPU columns. One JSON line per result.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+LOOP_ITERS = 50
+SCALES = {
+    "S": (64, 2048, 16384),
+    "XL": (256, 8192, 65536),
+    "XXL": (1024, 32768, 262144),
+}
+
+
+def _sync(x) -> float:
+    return float(x)  # forces a fetch (block_until_ready no-op under relay)
+
+
+def measure_pcg(scale: str, dtype):
+    import jax
+
+    import bench
+    from ceres_slam_tpu.solver import pcg
+
+    K, J, N = SCALES[scale]
+    bench.K, bench.J, bench.N_OBS = K, J, N
+    problem, state = bench.build(dtype)
+    tables = None
+    if jax.devices()[0].platform == "tpu":
+        tables = pcg.build_obs_tables(
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+    run = bench.pcg_loop_fn(tables)
+    t0 = time.perf_counter()
+    _sync(run(problem, state))  # compile + warm
+    compile_s = time.perf_counter() - t0
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = run(problem, state)
+    _sync(c)
+    dt = time.perf_counter() - t0
+    return {"metric": f"pcg_lm_it_s_{scale}", "K": K, "J": J, "N": N,
+            "it_s": round(reps * LOOP_ITERS / dt, 2),
+            "compile_s": round(compile_s, 1)}
+
+
+def measure_window_strategy(strategy: str, dtype):
+    """Window solver (flagship linear solver) under lm vs dogleg, S scale."""
+    import jax
+
+    import bench
+    from ceres_slam_tpu.solver import lm, window
+
+    K, J, N = SCALES["S"]
+    bench.K, bench.J, bench.N_OBS = K, J, N
+    problem, state = bench.build(dtype)
+    fused = jax.devices()[0].platform == "tpu"
+    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0,
+                         run_full_budget=True)
+    layout = window.build_window_layout(problem, K, J)
+
+    def run():
+        return window._solve_jit(layout, problem, state, cfg, fused,
+                                 not fused, strategy)
+
+    _, summary = run()
+    iters = int(summary.iterations)
+    assert iters == LOOP_ITERS, f"{strategy} ran {iters}/{LOOP_ITERS}"
+    final = float(summary.final_cost)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, summary = run()
+    _sync(summary.final_cost)
+    dt = time.perf_counter() - t0
+    return {"metric": f"window_{strategy}_it_s_S",
+            "it_s": round(reps * iters / dt, 2), "final_cost": final}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    scales = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        "S", "XL", "XXL"]
+    # dogleg-vs-LM is a chip question (the flagship default runs on TPU);
+    # skip the slow interpret-mode window path on CPU unless asked.
+    if platform == "tpu" or "--window-strategies" in sys.argv:
+        for strategy in ("lm", "dogleg"):
+            r = measure_window_strategy(strategy, jnp.float32)
+            r["platform"] = platform
+            print(json.dumps(r), flush=True)
+    for s in scales:
+        r = measure_pcg(s, jnp.float32)
+        r["platform"] = platform
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
