@@ -166,40 +166,75 @@ def build_obs_tables(pose_idx, point_idx, K: int, J: int) -> ObsTables:
     return ObsTables(by_point=bp, by_point_w=bpw, by_pose=bk, by_pose_w=bkw)
 
 
+def _gather_sum(table, w, per_obs):
+    """Sum a per-observation array into bins via a gather table (scatter-
+    free segment_sum). Trailing dims are FLATTENED before the gather: a
+    [G, O, 6, 6] gather output tiles as (6 -> 8 sublanes, 6 -> 128 lanes)
+    = 21x HBM padding on TPU, while the [G, O, 36] form pads 36 -> 128
+    (3.5x) — the difference between a 1 GB and a 134 MB temp at XXL."""
+    shape = per_obs.shape[1:]
+    flat = per_obs.reshape(per_obs.shape[0], -1)
+    g = flat[table]  # [G, O, F]
+    out = jnp.einsum("gof,go->gf", g, w.astype(per_obs.dtype))
+    return out.reshape((table.shape[0],) + shape)
+
+
 def _gather_sum_by_point(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
-    """Sum a per-observation array into landmark bins via the gather table
-    (scatter-free segment_sum over point_idx)."""
-    w = t.by_point_w.astype(per_obs.dtype)
-    g = per_obs[t.by_point]  # [J, O, ...]
-    return jnp.einsum("jo...,jo->j...", g, w)
+    return _gather_sum(t.by_point, t.by_point_w, per_obs)
 
 
 def _gather_sum_by_pose(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
-    w = t.by_pose_w.astype(per_obs.dtype)
-    g = per_obs[t.by_pose]  # [K, O, ...]
-    return jnp.einsum("ko...,ko->k...", g, w)
+    return _gather_sum(t.by_pose, t.by_pose_w, per_obs)
 
 
 def make_schur_matvec_gather(b: ObsBlocks, t: ObsTables):
-    """Build ``v -> S v`` with gather-table reductions (no scatters).
+    """Build ``v -> S v`` with gather-table reductions (no scatters), in
+    TPU-tiling-friendly MERGED layouts.
 
-    The [J,O,6,3] / [K,O,6,3] gathers of U and the index translations are
-    CG-loop-invariant, so they are materialized ONCE here (outside the
-    lax.while_loop that calls the closure): per CG iteration only the
-    small [K,6] / [J,3] vectors are gathered. At XXL scale this removes
-    ~80 MB of gather traffic from every matvec (the dominant serial cost
-    of the CG chain)."""
+    Two layout rules drive the design (BASELINE.md bench-hygiene notes):
+
+    1. Everything CG-loop-invariant — the [J,O_l]/[K,O_p] gathers of the
+       coupling blocks U, weight folding, index translations — is
+       materialized ONCE here, outside the lax.while_loop that calls the
+       closure. Per CG iteration only the small [K,6]/[J,3] iterate
+       vectors move.
+    2. No tensor with a trailing 3/6 survives into the loop: a
+       [J,O,6,3] gather output tiles as (6 -> 8 sublanes, 3 -> 128
+       lanes) = 57x HBM padding (a 16 GB temp at XL — the r3 OOM).
+       U is kept component-FLAT, ``U18[n, a*3+b] = U[n,a,b]``, so slot
+       tensors are [G, O*18] (1.3x padding) and the 6x3-block
+       contractions become one elementwise multiply + one skinny matmul
+       against a static 0/1 component-selector.
+    """
     dtype = b.U.dtype
-    # weights folded into the hoisted U copies (padding rows -> 0)
-    U_l = b.U[t.by_point] * t.by_point_w.astype(dtype)[..., None, None]
+    N = b.U.shape[0]
+    J, O_l = t.by_point.shape
+    K, O_p = t.by_pose.shape
+    U18 = b.U.reshape(N, 18)  # component-flat, c = a*3 + b
+    # hoisted slot tensors, padding weights folded in (padded slots -> 0)
+    U_l = (U18[t.by_point] * t.by_point_w.astype(dtype)[..., None]
+           ).reshape(J, O_l * 18)
     pose_of_l = b.pose_idx[t.by_point]  # [J, O_l]
-    U_p = b.U[t.by_pose] * t.by_pose_w.astype(dtype)[..., None, None]
+    U_p = (U18[t.by_pose] * t.by_pose_w.astype(dtype)[..., None]
+           ).reshape(K, O_p * 18)
     point_of_p = b.point_idx[t.by_pose]  # [K, O_p]
+    # component selectors: Utv[j,b] = sum_{o,c} U_l*vE [j,o*18+c] M3[c,b]
+    # (c % 3 == b), Uy[k,a] = sum_{o,c} U_p*yE [k,o*18+c] M6[c,a]
+    # (c // 3 == a)
+    c18 = jnp.arange(18)
+    M3 = jnp.tile((c18[:, None] % 3 == jnp.arange(3)[None, :]
+                   ).astype(dtype), (O_l, 1))  # [O_l*18, 3]
+    M6 = jnp.tile((c18[:, None] // 3 == jnp.arange(6)[None, :]
+                   ).astype(dtype), (O_p, 1))  # [O_p*18, 6]
 
     def matvec(v: jnp.ndarray) -> jnp.ndarray:
-        Utv = jnp.einsum("joab,joa->jb", U_l, v[pose_of_l])  # [J, 3]
+        vE = jnp.repeat(v, 3, axis=1)  # [K, 18], vE[k, c] = v[k, c//3]
+        ve_l = vE[pose_of_l].reshape(J, O_l * 18)
+        Utv = (U_l * ve_l) @ M3  # [J, 3]
         y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)
-        Uy = jnp.einsum("koab,kob->ka", U_p, y[point_of_p])  # [K, 6]
+        yE = jnp.tile(y, (1, 6))  # [J, 18], yE[j, c] = y[j, c%3]
+        y_p = yE[point_of_p].reshape(K, O_p * 18)
+        Uy = (U_p * y_p) @ M6  # [K, 6]
         return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
 
     return matvec

@@ -36,7 +36,7 @@ def _sync(x) -> float:
     return float(x)  # forces a fetch (block_until_ready no-op under relay)
 
 
-def measure_pcg(scale: str, dtype):
+def measure_pcg(scale: str, dtype, force_segment: bool = False):
     import jax
 
     import bench
@@ -46,7 +46,7 @@ def measure_pcg(scale: str, dtype):
     bench.K, bench.J, bench.N_OBS = K, J, N
     problem, state = bench.build(dtype)
     tables = None
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and not force_segment:
         tables = pcg.build_obs_tables(
             problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
     run = bench.pcg_loop_fn(tables)
@@ -59,7 +59,8 @@ def measure_pcg(scale: str, dtype):
         c = run(problem, state)
     _sync(c)
     dt = time.perf_counter() - t0
-    return {"metric": f"pcg_lm_it_s_{scale}", "K": K, "J": J, "N": N,
+    tag = "_segsum" if force_segment else ""
+    return {"metric": f"pcg_lm_it_s_{scale}{tag}", "K": K, "J": J, "N": N,
             "it_s": round(reps * LOOP_ITERS / dt, 2),
             "compile_s": round(compile_s, 1)}
 
@@ -101,6 +102,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # The sandbox's sitecustomize force-registers the TPU backend; the
+    # env var alone does NOT win — push it through jax.config.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     platform = jax.devices()[0].platform
     scales = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "S", "XL", "XXL"]
@@ -115,6 +120,10 @@ def main():
         r = measure_pcg(s, jnp.float32)
         r["platform"] = platform
         print(json.dumps(r), flush=True)
+        if platform == "tpu" and "--segsum" in sys.argv:
+            r = measure_pcg(s, jnp.float32, force_segment=True)
+            r["platform"] = platform
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
