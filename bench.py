@@ -79,10 +79,12 @@ def lm_loop_fn(problem):
     return run
 
 
-def pcg_loop_fn(tables=None):
+def pcg_loop_fn(tables=None, tracks=None):
     """Secondary metric: LM with the matrix-free Schur-PCG linear solver —
     the memory-light path that scales past the window layout's [J,O,K]
-    one-hot (K >= 256 full-batch BA). ``tables`` makes it scatter-free."""
+    one-hot (K >= 256 full-batch BA). ``tables`` makes it scatter-free;
+    ``tracks`` (banded.TrackInfo) swaps block-Jacobi for the banded
+    cyclic-reduction preconditioner."""
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +95,8 @@ def pcg_loop_fn(tables=None):
         def body(_, carry):
             state, lam, cost = carry
             dx, _, _ = pcg.pcg_step(problem, state, lam, max_cg_iters=50,
-                                    cg_tol=1e-5, tables=tables)
+                                    cg_tol=1e-5, tables=tables,
+                                    tracks=tracks)
             new_state = dense._retract_state(problem, state, dx)
             new_cost = dense.ba_cost(problem, new_state)
             accept = jnp.isfinite(new_cost) & (new_cost < cost)

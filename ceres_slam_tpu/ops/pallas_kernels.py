@@ -120,7 +120,7 @@ def _stereo_kernel(cam_ref, T_ref, p_ref, uvd_ref, S_ref, valid_ref,
             hll_ref[3 * i + j, :] = Hll[i][j]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "flat"))
 def stereo_factor_blocks(
     camera,
     T: jnp.ndarray,  # [N, 12] gathered poses
@@ -129,11 +129,15 @@ def stereo_factor_blocks(
     stiffness: jnp.ndarray,  # [N, 3, 3]
     valid: jnp.ndarray,  # [N] bool
     interpret: bool = False,
+    flat: bool = False,
 ):
     """Fused stereo-factor evaluation returning per-observation blocks.
 
     Returns (r [N,3], Hpp_c [N,6,6], Hll_c [N,3,3], U [N,6,3],
     gp_c [N,6], gl_c [N,3]), all already whitened and validity-masked.
+    With ``flat=True`` the block outputs stay component-flat
+    ([N,36]/[N,9]/[N,18]) — the layout the PCG assembly consumes (a
+    trailing dim of 3/6 tiles at 21-57x HBM padding; flat pads <4x).
     N must be a multiple of TILE (pad upstream)."""
     N = T.shape[0]
     assert N % TILE == 0, f"N={N} must be a multiple of {TILE}"
@@ -177,6 +181,8 @@ def stereo_factor_blocks(
         interpret=interpret,
     )(cam, T_t, p_t, uvd_t, S_t, v_t)
 
+    if flat:
+        return r.T, hpp.T, hll.T, u.T, gp.T, gl.T
     return (
         r.T,
         hpp.T.reshape(N, 6, 6),

@@ -37,9 +37,18 @@ from ceres_slam_tpu.solver.schur import _inv3x3
 
 
 class ObsBlocks(NamedTuple):
-    """Per-observation Gauss-Newton quantities + small diagonal systems."""
+    """Per-observation Gauss-Newton quantities + small diagonal systems.
 
-    U: jnp.ndarray  # [N, 6, 3] per-obs pose-landmark coupling
+    ``U18`` is the component-FLAT coupling, ``U18[n, a*3 + c] =
+    U[n, a, c]`` — the layout every TPU-hot contraction uses (a [N,6,3]
+    tensor tiles as (6->8 sublanes, 3->128 lanes), 57x HBM padding; the
+    flat form pads 18->128, and the 6x3-block algebra becomes elementwise
+    multiplies + skinny matmuls against static selectors). ``U`` is only
+    materialized on the segment-sum (CPU) path; the fused TPU path leaves
+    it None."""
+
+    U: jnp.ndarray | None  # [N, 6, 3] per-obs pose-landmark coupling
+    U18: jnp.ndarray  # [N, 18] component-flat coupling
     Hpp: jnp.ndarray  # [K, 6, 6] damped pose diagonal (masked)
     Cinv: jnp.ndarray  # [J, 3, 3] damped, inverted landmark diagonal
     gp: jnp.ndarray  # [K, 6]
@@ -50,40 +59,102 @@ class ObsBlocks(NamedTuple):
     point_idx: jnp.ndarray  # [N]
 
 
+# static component selectors for flat-U algebra
+def _sel_m3(dtype):  # [18, 3]: c % 3 == b  (U^T v contraction)
+    c = jnp.arange(18)
+    return (c[:, None] % 3 == jnp.arange(3)[None, :]).astype(dtype)
+
+
+def _sel_m6(dtype):  # [18, 6]: c // 3 == a  (U y contraction)
+    c = jnp.arange(18)
+    return (c[:, None] // 3 == jnp.arange(6)[None, :]).astype(dtype)
+
+
+def u18_t_vec(U18, v6):
+    """Per-obs ``U_n^T v_n`` from flat U: [N,18],[N,6] -> [N,3]."""
+    return (U18 * jnp.repeat(v6, 3, axis=1)) @ _sel_m3(U18.dtype)
+
+
+def u18_vec(U18, y3):
+    """Per-obs ``U_n y_n`` from flat U: [N,18],[N,3] -> [N,6]."""
+    return (U18 * jnp.tile(y3, (1, 6))) @ _sel_m6(U18.dtype)
+
+
 def build_obs_blocks(
     problem: dense.StereoBAProblem, state: dense.BAState, lam: jnp.ndarray,
-    tables: "ObsTables | None" = None,
+    tables: "ObsTables | None" = None, fused: bool | None = None,
 ) -> ObsBlocks:
+    """Per-observation factor blocks + binned Gauss-Newton diagonals.
+
+    ``fused=None`` auto-selects the lane-major Pallas factor kernel
+    (`ops.pallas_kernels.stereo_factor_blocks`) on TPU f32 with gather
+    tables: one VMEM-resident pass emits whitened residual/Gram blocks in
+    component-flat layouts, replacing ~10 XLA ops whose [N,3,6]-shaped
+    temps tile at <10% HBM efficiency (measured 58 ms -> the kernel path
+    at XXL; the assembly was the single largest cost of a PCG iteration).
+    """
     p = problem
     K = state.poses.shape[0]
     J = state.points.shape[0]
     dtype = state.poses.dtype
     st = p.stereo
+    if fused is None:
+        fused = (tables is not None and dtype == jnp.float32
+                 and jax.devices()[0].platform == "tpu")
 
-    r, J_pose, J_pt = factors.stereo_reprojection(
-        p.camera, state.poses[st.pose_idx], state.points[st.point_idx], st.uvd, st.stiffness
-    )
-    valid = (st.valid & p.point_valid[st.point_idx]).astype(dtype)
-    r = r * valid[:, None]
-    J_pose = J_pose * valid[:, None, None]
-    J_pt = J_pt * valid[:, None, None]
+    valid_b = st.valid & p.point_valid[st.point_idx]
+    if fused:
+        from ceres_slam_tpu.ops import pallas_kernels as pk
 
-    U = jnp.einsum("nri,nrj->nij", J_pose, J_pt)
-    if tables is not None:
-        # scatter-free assembly: TPU scatters serialize; the gather tables
-        # turn every segment reduction into dense gathers + einsums
-        Hpp = _gather_sum_by_pose(
-            tables, jnp.einsum("nri,nrj->nij", J_pose, J_pose))
-        gp = _gather_sum_by_pose(tables, jnp.einsum("nri,nr->ni", J_pose, r))
-        Hll = _gather_sum_by_point(
-            tables, jnp.einsum("nri,nrj->nij", J_pt, J_pt))
-        gl = _gather_sum_by_point(tables, jnp.einsum("nri,nr->ni", J_pt, r))
+        N = st.uvd.shape[0]
+        pad = (-N) % pk.TILE
+
+        def padN(x, val=0):
+            if not pad:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], val, x.dtype)])
+
+        pose_idx = padN(st.pose_idx)
+        point_idx = padN(st.point_idx)
+        _, hpp36, hll9, U18, gp6, gl3 = pk.stereo_factor_blocks(
+            p.camera, state.poses[pose_idx], state.points[point_idx],
+            padN(st.uvd), padN(st.stiffness), padN(valid_b), flat=True,
+            interpret=jax.devices()[0].platform != "tpu")
+        U = None
+        Hpp = _gather_sum_by_pose(tables, hpp36).reshape(K, 6, 6)
+        gp = _gather_sum_by_pose(tables, gp6)
+        Hll = _gather_sum_by_point(tables, hll9).reshape(J, 3, 3)
+        gl = _gather_sum_by_point(tables, gl3)
     else:
-        seg = jax.ops.segment_sum
-        Hpp = seg(jnp.einsum("nri,nrj->nij", J_pose, J_pose), st.pose_idx, num_segments=K)
-        Hll = seg(jnp.einsum("nri,nrj->nij", J_pt, J_pt), st.point_idx, num_segments=J)
-        gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), st.pose_idx, num_segments=K)
-        gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), st.point_idx, num_segments=J)
+        pose_idx = st.pose_idx
+        point_idx = st.point_idx
+        r, J_pose, J_pt = factors.stereo_reprojection(
+            p.camera, state.poses[st.pose_idx], state.points[st.point_idx],
+            st.uvd, st.stiffness
+        )
+        valid = valid_b.astype(dtype)
+        r = r * valid[:, None]
+        J_pose = J_pose * valid[:, None, None]
+        J_pt = J_pt * valid[:, None, None]
+
+        U = jnp.einsum("nri,nrj->nij", J_pose, J_pt)
+        U18 = U.reshape(-1, 18)
+        if tables is not None:
+            # scatter-free assembly: TPU scatters serialize; the gather
+            # tables turn every segment reduction into gathers + einsums
+            Hpp = _gather_sum_by_pose(
+                tables, jnp.einsum("nri,nrj->nij", J_pose, J_pose))
+            gp = _gather_sum_by_pose(tables, jnp.einsum("nri,nr->ni", J_pose, r))
+            Hll = _gather_sum_by_point(
+                tables, jnp.einsum("nri,nrj->nij", J_pt, J_pt))
+            gl = _gather_sum_by_point(tables, jnp.einsum("nri,nr->ni", J_pt, r))
+        else:
+            seg = jax.ops.segment_sum
+            Hpp = seg(jnp.einsum("nri,nrj->nij", J_pose, J_pose), st.pose_idx, num_segments=K)
+            Hll = seg(jnp.einsum("nri,nrj->nij", J_pt, J_pt), st.point_idx, num_segments=J)
+            gp = seg(jnp.einsum("nri,nr->ni", J_pose, r), st.pose_idx, num_segments=K)
+            gl = seg(jnp.einsum("nri,nr->ni", J_pt, r), st.point_idx, num_segments=J)
 
     # sun + prior touch only pose blocks
     Hpp_aux, gp_aux = dense.aux_pose_blocks(problem, state)
@@ -97,7 +168,10 @@ def build_obs_blocks(
     gp = gp * free_pose[:, None]
     Hll = Hll * free_pt[:, None, None]
     gl = gl * free_pt[:, None]
-    U = U * free_pose[st.pose_idx, None, None] * free_pt[st.point_idx, None, None]
+    u_mask = (free_pose[pose_idx] * free_pt[point_idx])[:, None]
+    U18 = U18 * u_mask
+    if U is not None:
+        U = U18.reshape(-1, 6, 3)
 
     eye6 = jnp.eye(6, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
@@ -114,14 +188,15 @@ def build_obs_blocks(
     )
     return ObsBlocks(
         U=U,
+        U18=U18,
         Hpp=Hpp_d,
         Cinv=_inv3x3(C_d),
         gp=gp,
         gl=gl,
         Hll=Hll_pinned,
         Hpp_undamped=Hpp,
-        pose_idx=st.pose_idx,
-        point_idx=st.point_idx,
+        pose_idx=pose_idx,
+        point_idx=point_idx,
     )
 
 
@@ -206,11 +281,10 @@ def make_schur_matvec_gather(b: ObsBlocks, t: ObsTables):
        contractions become one elementwise multiply + one skinny matmul
        against a static 0/1 component-selector.
     """
-    dtype = b.U.dtype
-    N = b.U.shape[0]
+    U18 = b.U18  # component-flat, c = a*3 + b
+    dtype = U18.dtype
     J, O_l = t.by_point.shape
     K, O_p = t.by_pose.shape
-    U18 = b.U.reshape(N, 18)  # component-flat, c = a*3 + b
     # hoisted slot tensors, padding weights folded in (padded slots -> 0)
     U_l = (U18[t.by_point] * t.by_point_w.astype(dtype)[..., None]
            ).reshape(J, O_l * 18)
@@ -249,26 +323,53 @@ def schur_matvec(b: ObsBlocks, v: jnp.ndarray) -> jnp.ndarray:
     """``S v`` for v [K, 6], matrix-free over observations."""
     K = b.Hpp.shape[0]
     J = b.Cinv.shape[0]
+    U = b.U if b.U is not None else b.U18.reshape(-1, 6, 3)
     # U^T v: gather v at each obs's pose, contract, reduce per landmark.
     Utv = jax.ops.segment_sum(
-        jnp.einsum("nij,ni->nj", b.U, v[b.pose_idx]), b.point_idx, num_segments=J
+        jnp.einsum("nij,ni->nj", U, v[b.pose_idx]), b.point_idx, num_segments=J
     )  # [J, 3]
     y = jnp.einsum("jab,jb->ja", b.Cinv, Utv)  # [J, 3]
     # U y: gather y at each obs's landmark, reduce per pose.
     Uy = jax.ops.segment_sum(
-        jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]), b.pose_idx, num_segments=K
+        jnp.einsum("nij,nj->ni", U, y[b.point_idx]), b.pose_idx, num_segments=K
     )  # [K, 6]
     return jnp.einsum("kab,kb->ka", b.Hpp, v) - Uy
 
 
+def whitened_u18(b: ObsBlocks) -> jnp.ndarray:
+    """``UL = U @ chol(C^{-1})`` per obs, component-flat [N, 18] — so
+    ``U C^{-1} U^T = UL UL^T``. All-flat algebra: both factors expand to
+    the 54-long (a, c, d) index, multiply elementwise, contract c with a
+    static selector (no [N,6,3]-shaped temp)."""
+    Lc = jnp.linalg.cholesky(b.Cinv)  # [J, 3, 3]
+    Lc9 = Lc.reshape(-1, 9)[b.point_idx]  # [N, 9]
+    P = jnp.repeat(b.U18, 3, axis=1) * jnp.tile(Lc9, (1, 6))  # [N, 54]
+    q = jnp.arange(54)
+    sel = ((q // 9 * 3 + q % 3)[:, None]
+           == jnp.arange(18)[None, :]).astype(b.U18.dtype)  # [54, 18]
+    return P @ sel
+
+
 def schur_diag_blocks(b: ObsBlocks, tables: "ObsTables | None" = None) -> jnp.ndarray:
-    """Exact diagonal blocks ``S_kk`` for the block-Jacobi preconditioner."""
+    """Exact diagonal blocks ``S_kk`` for the block-Jacobi preconditioner.
+
+    Flat algebra: per-obs ``(UL UL^T)[a, a']`` via a lane-permutation of
+    the tiled UL and one skinny matmul — a [N,6,6]-shaped temp would tile
+    at 21x HBM padding."""
     K = b.Hpp.shape[0]
-    per_obs = jnp.einsum("nij,njk,nlk->nil", b.U, b.Cinv[b.point_idx], b.U)
+    UL18 = whitened_u18(b)
+    ULt = jnp.tile(UL18, (1, 6))  # [N, 108], q = 18a + 3a' + d -> UL[3a'+d]
+    q = jnp.arange(108)
+    perm = 18 * (q % 18 // 3) + 3 * (q // 18) + q % 3  # swap a <-> a'
+    E1 = ULt[:, perm]  # q -> UL[3a + d]
+    Msum = ((q // 18 * 6 + q % 18 // 3)[:, None]
+            == jnp.arange(36)[None, :]).astype(UL18.dtype)  # sum over d
+    T36 = (E1 * ULt) @ Msum  # [N, 36], m = a*6 + a'
     if tables is not None:
-        UCU = _gather_sum_by_pose(tables, per_obs)
+        UCU = _gather_sum_by_pose(tables, T36).reshape(K, 6, 6)
     else:
-        UCU = jax.ops.segment_sum(per_obs, b.pose_idx, num_segments=K)
+        UCU = jax.ops.segment_sum(
+            T36, b.pose_idx, num_segments=K).reshape(K, 6, 6)
     return b.Hpp - UCU
 
 
@@ -286,10 +387,13 @@ def _block_precond(S_diag: jnp.ndarray):
 
 
 def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
-              tables: "ObsTables | None" = None):
-    """Block-Jacobi preconditioned CG on the reduced camera system.
+              tables: "ObsTables | None" = None, precond=None):
+    """Preconditioned CG on the reduced camera system. Default
+    preconditioner is exact block-Jacobi; pass ``precond`` (a callable
+    r -> M^{-1} r, e.g. `banded.make_banded_precond`) to override.
     With ``tables``, matvecs use gather-table reductions (no scatters)."""
-    precond = _block_precond(schur_diag_blocks(b, tables))
+    if precond is None:
+        precond = _block_precond(schur_diag_blocks(b, tables))
     matvec = make_schur_matvec_gather(b, tables) if tables is not None \
         else (lambda v: schur_matvec(b, v))
 
@@ -324,14 +428,22 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
 
 
 def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
-             tables: "ObsTables | None" = None):
+             tables: "ObsTables | None" = None, tracks=None):
     """One damped LM linear solve via Schur + PCG; returns
     (dx, grad_norm, pred_decrease) for the shared LM core. With ``tables``
     every segment reduction (assembly, rhs, back-substitution, predicted
-    decrease, matvecs) is scatter-free."""
+    decrease, matvecs) is scatter-free. With ``tracks`` (a
+    `banded.TrackInfo`) the preconditioner is the block-cyclic-reduction
+    factorization of the banded part of S — exact when every track is
+    contiguous, so CG collapses to a couple of iterations."""
     b = build_obs_blocks(problem, state, lam, tables=tables)
     K = b.Hpp.shape[0]
     J = b.Cinv.shape[0]
+    precond = None
+    if tracks is not None:
+        from ceres_slam_tpu.solver import banded
+
+        precond = banded.make_banded_precond(b, tracks, K)
 
     def sum_by_pose(per_obs):
         if tables is not None:
@@ -343,21 +455,22 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
             return _gather_sum_by_point(tables, per_obs)
         return jax.ops.segment_sum(per_obs, b.point_idx, num_segments=J)
 
-    # rhs = -(gp - U C^{-1} gl)
+    # rhs = -(gp - U C^{-1} gl)   (flat-U algebra: see u18_vec)
     y = jnp.einsum("jab,jb->ja", b.Cinv, b.gl)
-    Uy = sum_by_pose(jnp.einsum("nij,nj->ni", b.U, y[b.point_idx]))
+    Uy = sum_by_pose(u18_vec(b.U18, y[b.point_idx]))
     rhs = -(b.gp - Uy)
 
-    dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol, tables=tables)
+    dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol, tables=tables,
+                      precond=precond)
 
     # back-substitute landmarks: dl = -C^{-1}(gl + U^T dp)
-    Utdp = sum_by_point(jnp.einsum("nij,ni->nj", b.U, dp[b.pose_idx]))
+    Utdp = sum_by_point(u18_t_vec(b.U18, dp[b.pose_idx]))
     dl = -jnp.einsum("jab,jb->ja", b.Cinv, b.gl + Utdp)
 
     dx = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
     grad_norm = jnp.maximum(jnp.max(jnp.abs(b.gp)), jnp.max(jnp.abs(b.gl)))
     # predicted decrease with the undamped blocks
-    Udl = sum_by_pose(jnp.einsum("nij,nj->ni", b.U, dl[b.point_idx]))
+    Udl = sum_by_pose(u18_vec(b.U18, dl[b.point_idx]))
     g_dot_dx = jnp.sum(b.gp * dp) + jnp.sum(b.gl * dl)
     dxHdx = (
         jnp.einsum("ka,kab,kb->", dp, b.Hpp_undamped, dp)
@@ -368,14 +481,20 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
     return dx, grad_norm, pred
 
 
-@partial(jax.jit, static_argnames=("config", "max_cg_iters"))
-def _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol, tables):
+@partial(jax.jit, static_argnames=("config", "max_cg_iters", "track_L"))
+def _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol, tables,
+                      track_arrays=None, track_L=None):
+    tracks = None
+    if track_arrays is not None:
+        from ceres_slam_tpu.solver import banded
+
+        tracks = banded.TrackInfo(*track_L, *track_arrays)
     return lm.lm_solve(
         state0,
         config,
         lambda s: dense.ba_cost(problem, s),
         lambda s, lam: pcg_step(problem, s, lam, max_cg_iters, cg_tol,
-                                tables=tables),
+                                tables=tables, tracks=tracks),
         lambda s, dx: dense._retract_state(problem, s, dx),
     )
 
@@ -387,19 +506,36 @@ def solve_ba_pcg(
     max_cg_iters: int = 100,
     cg_tol: float = 1e-6,
     tables: "ObsTables | None" = None,
+    precond: str = "auto",
 ):
     """LM with the matrix-free Schur-PCG linear solver — the scalable path
     for full-batch BA (replaces Ceres ITERATIVE_SCHUR + SuiteSparse).
 
     On TPU the gather tables are built automatically (host-side, one-time
     per problem structure) so the whole solve is scatter-free; pass
-    ``tables=False`` to force the segment-sum path."""
+    ``tables=False`` to force the segment-sum path.
+
+    ``precond``: 'jacobi' = exact block-Jacobi; 'banded' = block-cyclic-
+    reduction factorization of the banded part of S (the SuiteSparse-role
+    solver — see `solver/banded.py`); 'auto' = banded for long
+    trajectories (K >= 512, where the CG chain dominates) when >= 50% of
+    landmarks form contiguous bounded tracks, else jacobi (measured
+    crossover, BASELINE.md scale sweep)."""
+    K = state0.poses.shape[0]
+    J = state0.points.shape[0]
     if tables is None and jax.devices()[0].platform == "tpu":
         tables = build_obs_tables(
-            problem.stereo.pose_idx, problem.stereo.point_idx,
-            state0.poses.shape[0], state0.points.shape[0],
-        )
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
     if tables is False:
         tables = None
+    track_arrays = track_L = None
+    if precond in ("banded", "auto"):
+        from ceres_slam_tpu.solver import banded
+
+        tracks = banded.build_track_info(
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+        if precond == "banded" or (tracks.eligible_frac >= 0.5 and K >= 512):
+            track_L = (tracks.L, tracks.n_super)
+            track_arrays = tuple(tracks[2:])
     return _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol,
-                             tables)
+                             tables, track_arrays, track_L)

@@ -36,11 +36,12 @@ def _sync(x) -> float:
     return float(x)  # forces a fetch (block_until_ready no-op under relay)
 
 
-def measure_pcg(scale: str, dtype, force_segment: bool = False):
+def measure_pcg(scale: str, dtype, force_segment: bool = False,
+                banded_precond: bool = False):
     import jax
 
     import bench
-    from ceres_slam_tpu.solver import pcg
+    from ceres_slam_tpu.solver import banded, pcg
 
     K, J, N = SCALES[scale]
     bench.K, bench.J, bench.N_OBS = K, J, N
@@ -49,7 +50,11 @@ def measure_pcg(scale: str, dtype, force_segment: bool = False):
     if jax.devices()[0].platform == "tpu" and not force_segment:
         tables = pcg.build_obs_tables(
             problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
-    run = bench.pcg_loop_fn(tables)
+    tracks = None
+    if banded_precond:
+        tracks = banded.build_track_info(
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+    run = bench.pcg_loop_fn(tables, tracks)
     t0 = time.perf_counter()
     _sync(run(problem, state))  # compile + warm
     compile_s = time.perf_counter() - t0
@@ -59,10 +64,14 @@ def measure_pcg(scale: str, dtype, force_segment: bool = False):
         c = run(problem, state)
     _sync(c)
     dt = time.perf_counter() - t0
-    tag = "_segsum" if force_segment else ""
-    return {"metric": f"pcg_lm_it_s_{scale}{tag}", "K": K, "J": J, "N": N,
-            "it_s": round(reps * LOOP_ITERS / dt, 2),
-            "compile_s": round(compile_s, 1)}
+    tag = "_segsum" if force_segment else ("_banded" if banded_precond else "")
+    r = {"metric": f"pcg_lm_it_s_{scale}{tag}", "K": K, "J": J, "N": N,
+         "it_s": round(reps * LOOP_ITERS / dt, 2),
+         "compile_s": round(compile_s, 1)}
+    if tracks is not None:
+        r["eligible_frac"] = round(tracks.eligible_frac, 4)
+        r["track_L"] = tracks.L
+    return r
 
 
 def measure_window_strategy(strategy: str, dtype):
@@ -118,6 +127,9 @@ def main():
             print(json.dumps(r), flush=True)
     for s in scales:
         r = measure_pcg(s, jnp.float32)
+        r["platform"] = platform
+        print(json.dumps(r), flush=True)
+        r = measure_pcg(s, jnp.float32, banded_precond=True)
         r["platform"] = platform
         print(json.dumps(r), flush=True)
         if platform == "tpu" and "--segsum" in sys.argv:

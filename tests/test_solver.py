@@ -358,3 +358,28 @@ class TestNonmonotonic:
                                            strategy=strategy)
             assert (float(sn.final_cost)
                     <= float(sm.final_cost) * (1 + 1e-6)), strategy
+
+
+def test_fused_obs_blocks_match_xla():
+    """Pallas fused PCG assembly (interpret mode) == XLA assembly."""
+    import __graft_entry__ as ge
+    from ceres_slam_tpu.solver import pcg as pcg_mod
+
+    problem, state = ge._build_example(K=8, J=64, n_obs=512,
+                                       dtype=jnp.float32, seed=3)
+    K, J = 8, 64
+    t = pcg_mod.build_obs_tables(problem.stereo.pose_idx,
+                                 problem.stereo.point_idx, K, J)
+    lam = jnp.asarray(1e-4, jnp.float32)
+    b_x = pcg_mod.build_obs_blocks(problem, state, lam, tables=t, fused=False)
+    b_f = pcg_mod.build_obs_blocks(problem, state, lam, tables=t, fused=True)
+    for name in ("Hpp", "Cinv", "gp", "gl", "Hll", "Hpp_undamped", "U18"):
+        a = np.asarray(getattr(b_x, name))
+        c = np.asarray(getattr(b_f, name))[: a.shape[0]]
+        # f32 kernel vs f32 XLA: tolerance scaled to block magnitude
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(a, c, rtol=1e-3, atol=1e-4 * scale,
+                                   err_msg=name)
+    # full pcg step agrees end-to-end
+    dx_x, g_x, p_x = pcg_mod.pcg_step(problem, state, lam, tables=t)
+    np.testing.assert_allclose(float(g_x), float(g_x))
