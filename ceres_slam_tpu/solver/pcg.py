@@ -517,10 +517,13 @@ def solve_ba_pcg(
 
     ``precond``: 'jacobi' = exact block-Jacobi; 'banded' = block-cyclic-
     reduction factorization of the banded part of S (the SuiteSparse-role
-    solver — see `solver/banded.py`); 'auto' = banded for long
-    trajectories (K >= 512, where the CG chain dominates) when >= 50% of
-    landmarks form contiguous bounded tracks, else jacobi (measured
-    crossover, BASELINE.md scale sweep)."""
+    solver — see `solver/banded.py`); 'auto' = banded when >= 50% of
+    landmarks form contiguous bounded tracks AND it wins on the backend:
+    everywhere on CPU (CG matvecs dominate there; 1.7-2.4x measured), but
+    only for long trajectories (K >= 512) on TPU, where the per-level
+    small-op chain of the cyclic-reduction solve costs more than the
+    saved CG iterations below that (measured crossover, BASELINE.md
+    scale sweep)."""
     K = state0.poses.shape[0]
     J = state0.points.shape[0]
     if tables is None and jax.devices()[0].platform == "tpu":
@@ -534,7 +537,8 @@ def solve_ba_pcg(
 
         tracks = banded.build_track_info(
             problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
-        if precond == "banded" or (tracks.eligible_frac >= 0.5 and K >= 512):
+        wins = K >= 512 or jax.devices()[0].platform != "tpu"
+        if precond == "banded" or (tracks.eligible_frac >= 0.5 and wins):
             track_L = (tracks.L, tracks.n_super)
             track_arrays = tuple(tracks[2:])
     return _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol,
