@@ -70,6 +70,16 @@ class DatasetProblem:
     def _dt(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def _camera_dt(self):
+        """dtype-cast camera, cached: `camera.astype` dispatches ~6 eager
+        device ops, which at ~30 ms relay latency dominated the per-window
+        problem build when done per window."""
+        cached = getattr(self, "_camera_dt_cache", None)
+        if cached is None or cached[0] != self.dtype:
+            self._camera_dt_cache = (self.dtype, self.camera.astype(self._dt))
+        return self._camera_dt_cache[1]
+
     _covar_floor: float = 1e-12
 
     # -- IO -----------------------------------------------------------------
@@ -207,13 +217,24 @@ class DatasetProblem:
         self._pair_num_inliers = np.zeros(K, np.int64)
         for s in range(1, K, chunk):
             e = min(s + chunk, K)
-            res = vmapped(
-                jnp.asarray(pts0[s:e]), jnp.asarray(pts1[s:e]),
-                jnp.asarray(valid[s:e]), keys[s:e],
-            )
-            self._pair_T[s:e] = np.asarray(res.T_1_0)
-            self._pair_inliers[s:e] = np.asarray(res.inliers)
-            self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)
+            n = e - s
+            # pad the (short) last chunk to the full chunk size: a second
+            # shape means a second multi-10-second remote compile of the
+            # vmapped 400-hypothesis RANSAC
+            def padc(x):
+                if n == chunk:
+                    return jnp.asarray(x[s:e])
+                buf = np.zeros((chunk,) + x.shape[1:], x.dtype)
+                buf[:n] = x[s:e]
+                return jnp.asarray(buf)
+
+            kpad = keys[s:e] if n == chunk else jnp.concatenate(
+                [keys[s:e],
+                 jnp.broadcast_to(keys[s], (chunk - n,) + keys.shape[1:])])
+            res = vmapped(padc(pts0), padc(pts1), padc(valid), kpad)
+            self._pair_T[s:e] = np.asarray(res.T_1_0)[:n]
+            self._pair_inliers[s:e] = np.asarray(res.inliers)[:n]
+            self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)[:n]
 
     def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
         if k1 >= k2:
@@ -343,7 +364,7 @@ class DatasetProblem:
         fixed = np.zeros(Kw, bool)
         fixed[0] = gauge_fix_first
         problem = dense.StereoBAProblem(
-            camera=self.camera.astype(dt),
+            camera=self._camera_dt,
             stereo=stereo,
             sun=sun,
             prior=prior,
@@ -521,6 +542,7 @@ class DatasetProblemSun(DatasetProblem):
         checkpoint: str | None = None,
         checkpoint_every: int = 25,
         strategy: str = "dogleg",
+        scan: bool | None = None,
     ):
         """One pass of the flagship pipeline (tests/dataset_vo_sun.cpp:265-312):
         per window — VO initial guess, window solve with a pose prior from
@@ -536,10 +558,28 @@ class DatasetProblemSun(DatasetProblem):
 
         ``strategy`` selects the trust-region strategy per window solve;
         the default matches the reference flagship (DOGLEG/SUBSPACE_DOGLEG,
-        tests/dataset_vo_sun.cpp:142-143)."""
+        tests/dataset_vo_sun.cpp:142-143).
+
+        ``scan=None`` (default) runs the DEVICE-RESIDENT pass
+        (`problems.scan_pipeline`: the whole sliding-window chain as one
+        lax.scan — zero per-window host round trips, ~100x less relay
+        latency on TPU) unless checkpointing is requested; ``scan=False``
+        forces the host per-window loop."""
         from ceres_slam_tpu.utils import checkpoint as ckpt_mod
 
         config = config or dense.SolveConfig(max_iters=100)
+        if scan is None:
+            scan = checkpoint is None
+        if scan and checkpoint is None:
+            from ceres_slam_tpu.problems import scan_pipeline
+
+            summaries = scan_pipeline.solve_sliding_window_scan(
+                self, window=window or self.num_states, use_sun=use_sun,
+                huber_param=huber_param, az_err_thresh=az_err_thresh,
+                zen_err_thresh=zen_err_thresh, config=config,
+                strategy=strategy, progress=progress,
+            )
+            return scan_pipeline.unstack_summaries(summaries)
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad, o_pad = self._window_budget(window)

@@ -1,0 +1,337 @@
+"""Device-resident sliding-window pass: the whole flagship pipeline as
+ONE ``lax.scan`` over windows.
+
+The host sliding-window loop (`DatasetProblemSun.solve_sliding_window`)
+makes ~3 device round trips per window (problem upload, solve, pose +
+covariance fetch); through this sandbox's ~30 ms-latency TPU relay that
+is ~250 ms/window — 100x the ~2 ms the window solve actually takes on
+chip (measured: BASELINE.md flagship table). The reference's windows are
+inherently sequential (the covariance-prior chain,
+tests/dataset_vo_sun.cpp:159-183 -> :109-124), but NOTHING about each
+window's problem STRUCTURE depends on solved values:
+
+- the VO pair transforms come from RANSAC over triangulated camera-frame
+  point clouds (precomputed batched, `precompute_pair_alignments`);
+- which observations/landmarks enter a window, their slot layout, and
+  which landmarks get initialized are functions of the (static)
+  observation graph and the (static) RANSAC inlier sets;
+- only the carried pose chain and the 6x6 prior covariance flow between
+  windows.
+
+So: precompute every per-window static (window layouts, slot-ordered
+observations, sun slices, camera-frame init points + their init frame,
+pair transforms, degeneracy flags) STACKED over windows on the host,
+upload once, and run the sequential chain as a `lax.scan` whose carry is
+(poses [K,12], prior covariance [6,6]). Per-window work on device: the
+SE(3) compounding chain, landmark initialization, the trust-region
+window solve (fused Pallas factor kernel on TPU), tangent covariance
+extraction, and the reference's fallback semantics
+(dataset_problem_sun.cpp:324-327, dataset_vo_sun.cpp:172-181) as
+`where`-selects. One compile per pass shape; zero host round trips
+inside the pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_slam_tpu.ops import lie
+from ceres_slam_tpu.solver import dense
+from ceres_slam_tpu.solver import window as window_mod
+
+
+class PassStatics(NamedTuple):
+    """Stacked [W, ...] per-window statics (host-built)."""
+
+    k1: jnp.ndarray  # [W] window start pose
+    # slot-ordered stereo observations (window layout order)
+    uvd: jnp.ndarray  # [W, M, 3]
+    stiff: jnp.ndarray  # [W, M, 3, 3]
+    pose_idx: jnp.ndarray  # [W, M]
+    valid: jnp.ndarray  # [W, M]
+    point_valid: jnp.ndarray  # [W, J]
+    # layout one-hots / lane-major fused statics
+    onehot: jnp.ndarray  # [W, M, Kw]
+    onehotT: jnp.ndarray  # [W, Kw, M_pad]
+    uvdT: jnp.ndarray  # [W, 3, M_pad]
+    stiffT: jnp.ndarray  # [W, 9, M_pad]
+    weightT: jnp.ndarray  # [W, 1, M_pad]
+    pose_freeT: jnp.ndarray  # [W, 1, M_pad]
+    onehot_jok: jnp.ndarray  # [W, J, O, Kw]
+    # sun observations per window
+    sun_dir_c: jnp.ndarray  # [W, Kw, 3]
+    sun_dir_g: jnp.ndarray  # [W, Kw, 3]
+    sun_stiff: jnp.ndarray  # [W, Kw, 2, 2]
+    sun_valid: jnp.ndarray  # [W, Kw]
+    # landmark initialization (camera-frame point + which chain frame)
+    pts_c: jnp.ndarray  # [W, J, 3]
+    init_frame: jnp.ndarray  # [W, J] int32 in [0, Kw)
+    # VO chain
+    T_rel: jnp.ndarray  # [W, Kw-1, 12]
+    ransac_ok: jnp.ndarray  # [W] bool
+
+
+def precompute_pass(ds, window: int):
+    """Build PassStatics for a pass (host; one-time, cached on ``ds``).
+
+    Statics include the sun observations — whether a pass USES them is a
+    runtime flag in the scan, so the VO-only and VO+sun passes share both
+    this precompute and one compiled program.
+
+    The per-window builders create jax arrays; on a TPU backend every one
+    would be a separate relay upload (~23/window: measured 235 s for a
+    200-state pass). Pin them to the host CPU backend — only the final
+    stacked statics move to the accelerator, once.
+    """
+    cached = getattr(ds, "_scan_statics", None)
+    if cached is not None and cached[0] == window:
+        return cached[1]
+    ds.precompute_pair_alignments()
+    try:
+        import contextlib
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu)
+    except Exception:  # no CPU backend registered: build on the default
+        ctx = contextlib.nullcontext()
+    with ctx:
+        statics, point_idx, O, M_pad = _precompute_pass_host(ds, window)
+    # one bulk transfer to the accelerator; cached so the second pass
+    # reuses the resident copies
+    out = (jax.device_put(statics), jax.device_put(point_idx), O, M_pad)
+    ds._scan_statics = (window, out)
+    return out
+
+
+def _precompute_pass_host(ds, window: int):
+    K = ds.num_states
+    dt = ds._dt
+    n_obs_pad, n_pts_pad, o_pad = ds._window_budget(window)
+    W = K - window + 1
+    J = n_pts_pad
+
+    fields = {name: [] for name in PassStatics._fields}
+    point_idx = None
+    O = M = M_pad = None
+    for k1 in range(W):
+        k2 = k1 + window
+        ok = ds.compute_initial_guess(k1, k2)
+        problem, state, slots = ds.build_window_problem(
+            k1, k2, n_obs_pad, n_pts_pad, prior=None,
+            sun=ds._window_sun(k1, k2),
+            gauge_fix_first=False,
+        )
+        layout = window_mod.build_window_layout(
+            problem, window, n_pts_pad, O_pad=o_pad)
+        st = layout.problem.stereo
+        O, M = layout.O, st.uvd.shape[0]
+        M_pad = layout.uvdT.shape[1]
+        point_idx = np.asarray(st.point_idx)
+        # landmark init statics: first-winning pair initializes a
+        # landmark from frame k-1's triangulation (dataset_problem.cpp:
+        # 245-255); replicate structure (values are state-independent)
+        glob2loc = {g: i for i, g in enumerate(slots)}
+        pts_c = np.zeros((J, 3))
+        init_frame = np.zeros(J, np.int32)
+        inited = np.zeros(J, bool)
+        ransac_ok = True
+        for k in range(k1 + 1, k2):
+            idx_a, idx_b = ds._pair_match(k)
+            Mm = idx_a.size
+            if Mm < 3 or ds._pair_num_inliers[k] < 3:
+                ransac_ok = False
+                break
+            inl = ds._pair_inliers[k][:Mm]
+            for oa, g in zip(idx_a[inl], ds.point_ids[idx_a[inl]]):
+                loc = glob2loc.get(g)
+                if loc is None or inited[loc]:
+                    continue
+                inited[loc] = True
+                pts_c[loc] = ds._pts_c[oa]
+                init_frame[loc] = k - 1 - k1
+        assert ok == ransac_ok, "init-structure replication diverged"
+
+        fields["k1"].append(k1)
+        fields["uvd"].append(np.asarray(st.uvd))
+        fields["stiff"].append(np.asarray(st.stiffness))
+        fields["pose_idx"].append(np.asarray(st.pose_idx))
+        fields["valid"].append(np.asarray(st.valid))
+        fields["point_valid"].append(np.asarray(problem.point_valid))
+        fields["onehot"].append(np.asarray(layout.onehot))
+        fields["onehotT"].append(np.asarray(layout.onehotT))
+        fields["uvdT"].append(np.asarray(layout.uvdT))
+        fields["stiffT"].append(np.asarray(layout.stiffT))
+        fields["weightT"].append(np.asarray(layout.weightT))
+        fields["pose_freeT"].append(np.asarray(layout.pose_freeT))
+        fields["onehot_jok"].append(np.asarray(layout.onehot_jok))
+        sun = problem.sun
+        fields["sun_dir_c"].append(np.asarray(sun.dir_c))
+        fields["sun_dir_g"].append(np.asarray(sun.dir_g))
+        fields["sun_stiff"].append(np.asarray(sun.stiffness))
+        fields["sun_valid"].append(np.asarray(sun.valid))
+        fields["pts_c"].append(pts_c)
+        fields["init_frame"].append(init_frame)
+        fields["T_rel"].append(
+            np.stack([ds._pair_T[k] for k in range(k1 + 1, k2)]))
+        fields["ransac_ok"].append(ransac_ok)
+        ds.reset_points()
+
+    # Solver-facing floats are cast to the solve dtype; the VO-chain
+    # inputs (pair transforms, camera-frame init points) STAY f64 — the
+    # host path compounds the chain in f64 numpy (se3np), and an f32
+    # compounding chain drifts measurably over hundreds of windows.
+    chain_fields = {"T_rel", "pts_c"}
+    stacked = {}
+    for name, vals in fields.items():
+        arr = np.stack(vals)
+        if arr.dtype.kind == "f" and name not in chain_fields:
+            arr = arr.astype(dt)
+        stacked[name] = jnp.asarray(arr)
+    statics = PassStatics(**stacked)
+    return statics, jnp.asarray(point_idx), O, M_pad
+
+
+def _inv_sqrt_psd6(C):
+    """Device 6x6 inverse matrix square root (f64 for the 1e-12-scale
+    prior chain, cast back by the caller)."""
+    w, V = jnp.linalg.eigh(C)
+    w = jnp.clip(w, 1e-300, None)
+    return (V * (1.0 / jnp.sqrt(w))[None, :]) @ V.T
+
+
+@partial(jax.jit, static_argnames=(
+    "Kw", "O", "config", "strategy", "fused", "interpret"))
+def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
+              sun_huber, az_thresh, zen_thresh, covar_floor, use_sun,
+              Kw, O, config, strategy, fused, interpret):
+    dt = poses0.dtype
+    J = statics.point_valid.shape[1]
+    cov_dtype = cov0.dtype  # f64 when x64 on (the prior chain needs it)
+
+    def step(carry, w):
+        poses_full, prior_cov = carry  # poses_full stays f64 (chain math)
+        k1 = w.k1
+        # --- VO chain: compound pair transforms onto the carried pose
+        # (f64, matching the host path's se3np chain — an f32 chain
+        # drifts over hundreds of windows)
+        chain = [jax.lax.dynamic_slice(poses_full, (k1, 0), (1, 12))[0]]
+        for t in range(Kw - 1):
+            chain.append(lie.se3_compose(w.T_rel[t], chain[-1]))
+        chain64 = jnp.stack(chain)  # [Kw, 12] f64
+        chain_poses = chain64.astype(dt)
+        # --- landmark init: p_g = T_f^{-1} * p_c at each slot's frame
+        T_inv = lie.se3_inverse(chain64)[w.init_frame]  # [J, 12]
+        p_g = lie.se3_transform_point(T_inv, w.pts_c)
+        p_g = jnp.where(w.point_valid[:, None], p_g, 0.0).astype(dt)
+        # --- prior from the carried covariance
+        floor = covar_floor * jnp.eye(6, dtype=cov_dtype)
+        prior = dense.PosePrior(
+            pose_idx=jnp.asarray(0, jnp.int32),
+            T_ref=chain_poses[0],
+            stiffness=_inv_sqrt_psd6(prior_cov + floor).astype(dt),
+            valid=jnp.asarray(True),
+        )
+        # use_sun is a TRACED flag so the VO-only and VO+sun passes share
+        # one compiled program (compile is minutes through the relay)
+        sun = dense.SunObs(dir_c=w.sun_dir_c, dir_g=w.sun_dir_g,
+                           stiffness=w.sun_stiff,
+                           valid=w.sun_valid & use_sun)
+        stereo = dense.StereoObs(
+            uvd=w.uvd, stiffness=w.stiff,
+            pose_idx=w.pose_idx.astype(jnp.int32),
+            point_idx=point_idx.astype(jnp.int32), valid=w.valid,
+        )
+        problem = dense.StereoBAProblem(
+            camera=camera, stereo=stereo, sun=sun, prior=prior,
+            fixed_pose_mask=jnp.zeros(Kw, bool),
+            point_valid=w.point_valid,
+            sun_huber=sun_huber, az_err_thresh=az_thresh,
+            zen_err_thresh=zen_thresh,
+        )
+        layout = window_mod.WindowLayout(
+            problem=problem, onehot=w.onehot, O=O, onehotT=w.onehotT,
+            uvdT=w.uvdT, stiffT=w.stiffT, weightT=w.weightT,
+            pose_freeT=w.pose_freeT, onehot_jok=w.onehot_jok,
+        )
+        state0 = dense.BAState(poses=chain_poses, points=p_g)
+        state, summary, blocks = window_mod._run_loop(
+            layout, problem, state0, config, fused, interpret, strategy)
+        # --- tangent covariance of local pose 1 (next window's prior),
+        # mirroring window._solve_cov_jit
+        Hpp_aux, _ = window_mod._masked_aux_blocks(problem, state, cov_dtype)
+        cov = window_mod.pose_marginal_covariance(
+            blocks.Hpp.astype(cov_dtype) + Hpp_aux,
+            blocks.Hll.astype(cov_dtype), blocks.U_jo.astype(cov_dtype),
+            w.onehot_jok.astype(cov_dtype), 1,
+        )
+        # --- fallbacks (reference semantics)
+        cov_ok = jnp.all(jnp.isfinite(cov))
+        new_cov = jnp.where(w.ransac_ok & cov_ok, cov, prior_cov)
+        # RANSAC degeneracy: keep old rows, copy pose k1 into k2-1
+        old_rows = jax.lax.dynamic_slice(poses_full, (k1, 0), (Kw, 12))
+        fb_rows = old_rows.at[Kw - 1].set(old_rows[0])
+        new_rows = jnp.where(w.ransac_ok,
+                             state.poses.astype(poses_full.dtype), fb_rows)
+        poses_full = jax.lax.dynamic_update_slice(poses_full, new_rows,
+                                                  (k1, 0))
+        return (poses_full, new_cov), (summary, new_cov)
+
+    (poses_full, _), (summaries, covs) = jax.lax.scan(
+        step, (poses0, cov0), statics)
+    return poses_full, summaries, covs
+
+
+def solve_sliding_window_scan(
+    ds, window: int = 2, use_sun: bool = False, huber_param: float = 0.0,
+    az_err_thresh: float = 1000.0, zen_err_thresh: float = 1000.0,
+    config: dense.SolveConfig | None = None, strategy: str = "dogleg",
+    progress: bool = False,
+):
+    """Drop-in device-resident counterpart of
+    `DatasetProblemSun.solve_sliding_window` (no checkpointing; the host
+    loop remains for that). Returns the stacked per-window summaries."""
+    config = config or dense.SolveConfig(max_iters=100)
+    dt = ds._dt
+    statics, point_idx, O, M_pad = precompute_pass(ds, window)
+    if progress:
+        print(f"  scan pass: {int(statics.k1.shape[0])} windows, "
+              f"O={O}, M_pad={M_pad}", flush=True)
+    # fused=False: the Pallas mega-kernel exists to cut per-dispatch
+    # latency, which the scan already eliminates — and Mosaic currently
+    # fails to lower it inside a lax.scan body ("failed to legalize
+    # func.return"). The pure-XLA window step costs ~the same per window
+    # here.
+    fused = False
+    interpret = jax.devices()[0].platform != "tpu"
+    cov_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                 else jnp.asarray(0.0, dt).dtype)
+    chain_dtype = jnp.float64 if jax.config.jax_enable_x64 else dt
+    poses0 = jnp.asarray(ds.poses, chain_dtype)
+    cov0 = jnp.asarray(ds.pose_covars[0], cov_dtype)
+    poses_full, summaries, covs = _run_scan(
+        statics, point_idx, poses0, cov0, ds.camera.astype(dt),
+        jnp.asarray(float(huber_param), dt),
+        jnp.asarray(float(az_err_thresh), dt),
+        jnp.asarray(float(zen_err_thresh), dt),
+        jnp.asarray(ds._covar_floor, cov_dtype),
+        jnp.asarray(bool(use_sun)),
+        window, O, config, strategy, fused, interpret,
+    )
+    ds.poses[:] = np.asarray(poses_full, np.float64)
+    W = int(statics.k1.shape[0])
+    ds.pose_covars[1: W + 1] = np.asarray(covs, np.float64)
+    ds.reset_points()
+    return summaries
+
+
+def unstack_summaries(summaries):
+    """Stacked scan outputs -> list of per-window summaries (the host
+    loop's return shape, consumed by apps.common.print_reports)."""
+    n = int(jax.tree_util.tree_leaves(summaries)[0].shape[0])
+    arrs = jax.tree_util.tree_map(np.asarray, summaries)
+    return [jax.tree_util.tree_map(lambda x: x[i], arrs) for i in range(n)]
