@@ -573,13 +573,23 @@ class DatasetProblemSun(DatasetProblem):
         if scan and checkpoint is None:
             from ceres_slam_tpu.problems import scan_pipeline
 
-            summaries = scan_pipeline.solve_sliding_window_scan(
-                self, window=window or self.num_states, use_sun=use_sun,
-                huber_param=huber_param, az_err_thresh=az_err_thresh,
-                zen_err_thresh=zen_err_thresh, config=config,
-                strategy=strategy, progress=progress,
-            )
-            return scan_pipeline.unstack_summaries(summaries)
+            try:
+                summaries, ok = scan_pipeline.solve_sliding_window_scan(
+                    self, window=window or self.num_states, use_sun=use_sun,
+                    huber_param=huber_param, az_err_thresh=az_err_thresh,
+                    zen_err_thresh=zen_err_thresh, config=config,
+                    strategy=strategy, progress=progress,
+                )
+                return scan_pipeline.unstack_summaries(summaries, ok)
+            except scan_pipeline.ScanReplicationError as e:
+                # degrade to the host per-window loop (reference posture:
+                # dataset_problem_sun.cpp:324-327 degrades, never dies)
+                import sys
+
+                print(f"  scan precompute diverged ({e}); "
+                      "falling back to the host per-window loop",
+                      file=sys.stderr)
+                self.reset_points()  # clear partial precompute state
         K = self.num_states
         window = window or K
         n_obs_pad, n_pts_pad, o_pad = self._window_budget(window)

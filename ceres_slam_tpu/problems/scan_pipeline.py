@@ -45,6 +45,13 @@ from ceres_slam_tpu.solver import dense
 from ceres_slam_tpu.solver import window as window_mod
 
 
+class ScanReplicationError(RuntimeError):
+    """The scan precompute's init-structure replication diverged from
+    `compute_initial_guess`. Callers degrade to the host per-window loop
+    (reference posture: degrade, don't die —
+    dataset_problem_sun.cpp:324-327)."""
+
+
 class PassStatics(NamedTuple):
     """Stacked [W, ...] per-window statics (host-built)."""
 
@@ -74,6 +81,10 @@ class PassStatics(NamedTuple):
     # VO chain
     T_rel: jnp.ndarray  # [W, Kw-1, 12]
     ransac_ok: jnp.ndarray  # [W] bool
+    # last chain row the host loop writes before a RANSAC failure (the
+    # failing window's earlier pairs still compound, dataset_problem.cpp:
+    # 241 runs before the failure return); Kw-1 when the window is ok
+    n_chain: jnp.ndarray  # [W] int32
 
 
 def precompute_pass(ds, window: int):
@@ -140,11 +151,13 @@ def _precompute_pass_host(ds, window: int):
         init_frame = np.zeros(J, np.int32)
         inited = np.zeros(J, bool)
         ransac_ok = True
+        n_chain = k2 - 1 - k1
         for k in range(k1 + 1, k2):
             idx_a, idx_b = ds._pair_match(k)
             Mm = idx_a.size
             if Mm < 3 or ds._pair_num_inliers[k] < 3:
                 ransac_ok = False
+                n_chain = k - 1 - k1
                 break
             inl = ds._pair_inliers[k][:Mm]
             for oa, g in zip(idx_a[inl], ds.point_ids[idx_a[inl]]):
@@ -154,7 +167,10 @@ def _precompute_pass_host(ds, window: int):
                 inited[loc] = True
                 pts_c[loc] = ds._pts_c[oa]
                 init_frame[loc] = k - 1 - k1
-        assert ok == ransac_ok, "init-structure replication diverged"
+        if ok != ransac_ok:
+            raise ScanReplicationError(
+                f"window [{k1},{k2}): compute_initial_guess={ok} but "
+                f"replication={ransac_ok}")
 
         fields["k1"].append(k1)
         fields["uvd"].append(np.asarray(st.uvd))
@@ -179,6 +195,7 @@ def _precompute_pass_host(ds, window: int):
         fields["T_rel"].append(
             np.stack([ds._pair_T[k] for k in range(k1 + 1, k2)]))
         fields["ransac_ok"].append(ransac_ok)
+        fields["n_chain"].append(np.int32(n_chain))
         ds.reset_points()
 
     # Solver-facing floats are cast to the solve dtype; the VO-chain
@@ -214,8 +231,15 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
     cov_dtype = cov0.dtype  # f64 when x64 on (the prior chain needs it)
 
     def step(carry, w):
-        poses_full, prior_cov = carry  # poses_full stays f64 (chain math)
+        # poses_full stays f64 (chain math); cov_full is the whole [K,6,6]
+        # covariance array, carried so the host loop's FALLBACK INDEXING
+        # is replicated exactly at any window size: success writes k1+1,
+        # RANSAC failure writes the stale prior into k2-1 and leaves k1+1
+        # untouched (tests/dataset_vo_sun.cpp:276-281 vs :159-183)
+        poses_full, cov_full = carry
         k1 = w.k1
+        prior_cov = jax.lax.dynamic_slice(
+            cov_full, (k1, 0, 0), (1, 6, 6))[0]
         # --- VO chain: compound pair transforms onto the carried pose
         # (f64, matching the host path's se3np chain — an f32 chain
         # drifts over hundreds of windows)
@@ -271,19 +295,30 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
         )
         # --- fallbacks (reference semantics)
         cov_ok = jnp.all(jnp.isfinite(cov))
-        new_cov = jnp.where(w.ransac_ok & cov_ok, cov, prior_cov)
-        # RANSAC degeneracy: keep old rows, copy pose k1 into k2-1
+        # success: write cov (or, on covariance failure, the stale prior,
+        # tests/dataset_vo_sun.cpp:172-177) at k1+1; RANSAC failure: write
+        # the stale prior at k2-1 (:276-281). Same index at window 2.
+        write_val = jnp.where(w.ransac_ok & cov_ok, cov, prior_cov)
+        write_idx = jnp.where(w.ransac_ok, k1 + 1, k1 + Kw - 1)
+        cov_full = jax.lax.dynamic_update_slice(
+            cov_full, write_val[None], (write_idx, 0, 0))
+        # RANSAC degeneracy: the host loop's exact partial-chain writes —
+        # rows up to the failing pair keep their compounded VO values,
+        # later rows stay stale, and k2-1 gets pose k1 copied in
         old_rows = jax.lax.dynamic_slice(poses_full, (k1, 0), (Kw, 12))
-        fb_rows = old_rows.at[Kw - 1].set(old_rows[0])
+        chain_valid = jnp.arange(Kw) <= w.n_chain
+        fb_rows = jnp.where(chain_valid[:, None],
+                            chain64.astype(poses_full.dtype), old_rows)
+        fb_rows = fb_rows.at[Kw - 1].set(old_rows[0])
         new_rows = jnp.where(w.ransac_ok,
                              state.poses.astype(poses_full.dtype), fb_rows)
         poses_full = jax.lax.dynamic_update_slice(poses_full, new_rows,
                                                   (k1, 0))
-        return (poses_full, new_cov), (summary, new_cov)
+        return (poses_full, cov_full), summary
 
-    (poses_full, _), (summaries, covs) = jax.lax.scan(
+    (poses_full, cov_full), summaries = jax.lax.scan(
         step, (poses0, cov0), statics)
-    return poses_full, summaries, covs
+    return poses_full, summaries, cov_full
 
 
 def solve_sliding_window_scan(
@@ -312,8 +347,8 @@ def solve_sliding_window_scan(
                  else jnp.asarray(0.0, dt).dtype)
     chain_dtype = jnp.float64 if jax.config.jax_enable_x64 else dt
     poses0 = jnp.asarray(ds.poses, chain_dtype)
-    cov0 = jnp.asarray(ds.pose_covars[0], cov_dtype)
-    poses_full, summaries, covs = _run_scan(
+    cov0 = jnp.asarray(ds.pose_covars, cov_dtype)
+    poses_full, summaries, cov_full = _run_scan(
         statics, point_idx, poses0, cov0, ds.camera.astype(dt),
         jnp.asarray(float(huber_param), dt),
         jnp.asarray(float(az_err_thresh), dt),
@@ -323,15 +358,18 @@ def solve_sliding_window_scan(
         window, O, config, strategy, fused, interpret,
     )
     ds.poses[:] = np.asarray(poses_full, np.float64)
-    W = int(statics.k1.shape[0])
-    ds.pose_covars[1: W + 1] = np.asarray(covs, np.float64)
+    ds.pose_covars[:] = np.asarray(cov_full, np.float64)
     ds.reset_points()
-    return summaries
+    # failed windows append no summary in the host loop
+    return summaries, np.asarray(statics.ransac_ok)
 
 
-def unstack_summaries(summaries):
+def unstack_summaries(summaries, ok=None):
     """Stacked scan outputs -> list of per-window summaries (the host
-    loop's return shape, consumed by apps.common.print_reports)."""
+    loop's return shape, consumed by apps.common.print_reports). ``ok``
+    (the per-window ransac_ok mask) drops failed windows — the host loop
+    appends no summary for them."""
     n = int(jax.tree_util.tree_leaves(summaries)[0].shape[0])
     arrs = jax.tree_util.tree_map(np.asarray, summaries)
-    return [jax.tree_util.tree_map(lambda x: x[i], arrs) for i in range(n)]
+    keep = range(n) if ok is None else np.nonzero(np.asarray(ok))[0]
+    return [jax.tree_util.tree_map(lambda x: x[i], arrs) for i in keep]

@@ -70,15 +70,31 @@ BIN_CAP = 32
 
 
 def build_track_info(pose_idx, point_idx, K: int, J: int,
-                     L: int | None = None, L_cap: int = 16) -> TrackInfo:
+                     L: int | None = None, L_cap: int = 16,
+                     valid=None) -> TrackInfo:
     """Analyze observation structure on the host (numpy, one-time).
 
     A landmark is ELIGIBLE iff its observed poses are distinct,
     consecutive integers (a contiguous track) of length <= L. ``L``
     defaults to the largest eligible track length (capped at ``L_cap``).
+
+    ``valid`` (the solver's obs mask, ``stereo.valid & point_valid[...]``)
+    excludes padding/masked observations from the structure analysis —
+    without it, padded rows (typically index 0) can break the contiguity
+    of real tracks or inflate landmark 0's count, silently degrading the
+    preconditioner (correctness is unaffected: masked rows carry U18=0).
     """
     pose_idx = np.asarray(pose_idx)
     point_idx = np.asarray(point_idx)
+    if valid is not None:
+        keep = np.nonzero(np.asarray(valid))[0]
+        # slot tables must address the ORIGINAL obs array: analyze the
+        # filtered view, then map slot entries back through `keep`.
+        info = build_track_info(pose_idx[keep], point_idx[keep], K, J,
+                                L=L, L_cap=L_cap)
+        slots = np.asarray(info.slots)
+        mapped = keep[slots] * (np.asarray(info.slot_w) > 0)
+        return info._replace(slots=jnp.asarray(mapped.astype(np.int32)))
     N = pose_idx.shape[0]
 
     # one composite sort: observations grouped by landmark, pose-ascending

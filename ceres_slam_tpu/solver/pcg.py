@@ -428,7 +428,8 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
 
 
 def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
-             tables: "ObsTables | None" = None, tracks=None):
+             tables: "ObsTables | None" = None, tracks=None,
+             fused: bool | None = None):
     """One damped LM linear solve via Schur + PCG; returns
     (dx, grad_norm, pred_decrease) for the shared LM core. With ``tables``
     every segment reduction (assembly, rhs, back-substitution, predicted
@@ -436,7 +437,7 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
     `banded.TrackInfo`) the preconditioner is the block-cyclic-reduction
     factorization of the banded part of S — exact when every track is
     contiguous, so CG collapses to a couple of iterations."""
-    b = build_obs_blocks(problem, state, lam, tables=tables)
+    b = build_obs_blocks(problem, state, lam, tables=tables, fused=fused)
     K = b.Hpp.shape[0]
     J = b.Cinv.shape[0]
     precond = None
@@ -536,7 +537,9 @@ def solve_ba_pcg(
         from ceres_slam_tpu.solver import banded
 
         tracks = banded.build_track_info(
-            problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+            problem.stereo.pose_idx, problem.stereo.point_idx, K, J,
+            valid=problem.stereo.valid
+            & problem.point_valid[problem.stereo.point_idx])
         wins = K >= 512 or jax.devices()[0].platform != "tpu"
         if precond == "banded" or (tracks.eligible_frac >= 0.5 and wins):
             track_L = (tracks.L, tracks.n_super)

@@ -67,6 +67,32 @@ def test_track_info_structure():
         assert np.all(np.diff(pi[obs]) == 1)
 
 
+def test_track_info_valid_mask():
+    """Padding rows (index 0) must not corrupt the structure analysis:
+    with `valid` passed, masked observations are excluded, and the slot
+    table still addresses the ORIGINAL observation array."""
+    problem, state = _small_problem()
+    K, J = state.poses.shape[0], state.points.shape[0]
+    pi = np.asarray(problem.stereo.pose_idx)
+    pt = np.asarray(problem.stereo.point_idx)
+    t_ref = banded.build_track_info(pi, pt, K, J)
+    # append padding rows that all hit (pose 0, landmark 0) — the typical
+    # zero-initialized pad — plus one that breaks landmark 3's contiguity
+    pad_pi = np.concatenate([pi, [0, 0, 5]]).astype(pi.dtype)
+    pad_pt = np.concatenate([pt, [0, 0, 3]]).astype(pt.dtype)
+    valid = np.concatenate([np.ones(pi.size, bool), [False] * 3])
+    t_masked = banded.build_track_info(pad_pi, pad_pt, K, J, valid=valid)
+    assert t_masked.eligible_frac == t_ref.eligible_frac
+    assert t_masked.L == t_ref.L
+    np.testing.assert_array_equal(np.asarray(t_masked.slot_w),
+                                  np.asarray(t_ref.slot_w))
+    np.testing.assert_array_equal(np.asarray(t_masked.slots),
+                                  np.asarray(t_ref.slots))
+    # unmasked analysis of the padded arrays degrades (landmark 0 and 3)
+    t_bad = banded.build_track_info(pad_pi, pad_pt, K, J)
+    assert t_bad.eligible_frac < t_ref.eligible_frac
+
+
 def test_banded_precond_is_exact_when_all_eligible():
     problem, state = ge._build_example(K=16, J=64, n_obs=256,
                                        dtype=jnp.float64, seed=3)

@@ -34,13 +34,97 @@ def _load(base):
 def test_scan_matches_host_loop(sim_files, use_sun):
     cfg = dense.SolveConfig(max_iters=60, nonmonotonic=True)
     ds_host = _load(sim_files)
-    ds_host.solve_sliding_window(window=2, use_sun=use_sun, config=cfg)
+    # scan=False forces the reference-semantics host per-window loop —
+    # without it this test would compare the (default) scan against itself
+    ds_host.solve_sliding_window(window=2, use_sun=use_sun, config=cfg,
+                                 scan=False)
     ds_scan = _load(sim_files)
-    summaries = scan_pipeline.solve_sliding_window_scan(
+    summaries, ok = scan_pipeline.solve_sliding_window_scan(
         ds_scan, window=2, use_sun=use_sun, config=cfg)
     assert np.all(np.isfinite(ds_scan.poses))
     assert summaries.final_cost.shape[0] == ds_scan.num_states - 1
+    assert np.all(ok)
     # same trajectory (both solve each window to convergence; tiny
     # numerical differences compound along the chain)
     err = np.abs(ds_scan.poses - ds_host.poses)
     assert err.max() < 1e-5, err.max()
+    cov_err = np.abs(ds_scan.pose_covars - ds_host.pose_covars)
+    assert cov_err.max() < 1e-7, cov_err.max()
+
+
+def test_scan_matches_host_loop_window5(sim_files):
+    """Window sizes beyond the flagship default share the same scan path
+    (different per-window chain length and layout shapes)."""
+    cfg = dense.SolveConfig(max_iters=60, nonmonotonic=True)
+    ds_host = _load(sim_files)
+    ds_host.solve_sliding_window(window=5, use_sun=True, config=cfg,
+                                 scan=False)
+    ds_scan = _load(sim_files)
+    summaries, ok = scan_pipeline.solve_sliding_window_scan(
+        ds_scan, window=5, use_sun=True, config=cfg)
+    assert summaries.final_cost.shape[0] == ds_scan.num_states - 4
+    err = np.abs(ds_scan.poses - ds_host.poses)
+    assert err.max() < 1e-5, err.max()
+
+
+def _crippled_files(tmp_path, window_extra=0):
+    """Sim with frame 8's features remapped to bogus ids: no reciprocal
+    matches with its neighbors -> RANSAC degeneracy at every window
+    containing the pair (7, 8)."""
+    ds = sim.generate(kind="triangle", num_states=16, num_points=120,
+                      seed=0, stereo_noise=(0.3, 0.3, 0.3),
+                      sun_noise_deg=5.0)
+    sel = ds.state_ids == 8
+    ds.point_ids = ds.point_ids.copy()
+    ds.point_ids[sel] = ds.point_ids.max() + 1 + np.arange(sel.sum())
+    ds.points_gt = np.concatenate(
+        [ds.points_gt, np.zeros((int(sel.sum()), 3))])
+    base = os.path.join(tmp_path, "crip16")
+    sim.write_track_csv(ds, base + ".csv", with_covar=True)
+    sim.write_ref_sun_csv(ds, base + "_sun_ref.csv")
+    sim.write_obs_sun_csv(ds, base + "_sun_dir.csv")
+    return base
+
+
+@pytest.mark.parametrize("window", [2, 4])
+def test_scan_degenerate_window_matches_host(tmp_path, window):
+    """Fault injection through the scan path (mirrors
+    test_pipeline.test_ransac_failure_fallback): RANSAC-degenerate
+    windows take the copy-pose-and-covariance-forward fallback
+    (tests/dataset_vo_sun.cpp:276-281) with the HOST LOOP's exact
+    indexing — including the stale-covariance semantics at window>2 —
+    and failed windows emit no summary."""
+    base = _crippled_files(str(tmp_path))
+    cfg = dense.SolveConfig(max_iters=60, nonmonotonic=True)
+    ds_host = _load(base)
+    host_summaries = ds_host.solve_sliding_window(
+        window=window, use_sun=False, config=cfg, scan=False)
+    ds_scan = _load(base)
+    summaries, ok = scan_pipeline.solve_sliding_window_scan(
+        ds_scan, window=window, use_sun=False, config=cfg)
+    assert not np.all(ok)  # the fault fired
+    assert len(scan_pipeline.unstack_summaries(summaries, ok)) == len(
+        host_summaries)
+    assert np.all(np.isfinite(ds_scan.poses))
+    err = np.abs(ds_scan.poses - ds_host.poses)
+    assert err.max() < 1e-5, err.max()
+    cov_err = np.abs(ds_scan.pose_covars - ds_host.pose_covars)
+    assert cov_err.max() < 1e-7, cov_err.max()
+
+
+def test_scan_replication_divergence_falls_back(sim_files, monkeypatch):
+    """A replication discrepancy in the scan precompute must degrade to
+    the host loop, not kill the pass (VERDICT r3; reference posture
+    dataset_problem_sun.cpp:324-327)."""
+    ds = _load(sim_files)
+    monkeypatch.setattr(
+        type(ds), "compute_initial_guess",
+        lambda self, k1=0, k2=0, _orig=type(ds).compute_initial_guess:
+        (False if k1 == 3 else _orig(self, k1, k2)))
+    # the patched guess makes window 3 "fail" while the replication loop
+    # (driven by the pair caches) still sees healthy inlier counts
+    summaries = ds.solve_sliding_window(
+        window=2, use_sun=False,
+        config=dense.SolveConfig(max_iters=30, nonmonotonic=True))
+    assert np.all(np.isfinite(ds.poses))
+    assert len(summaries) == ds.num_states - 2  # window 3 fell back

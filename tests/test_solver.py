@@ -380,6 +380,14 @@ def test_fused_obs_blocks_match_xla():
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(a, c, rtol=1e-3, atol=1e-4 * scale,
                                    err_msg=name)
-    # full pcg step agrees end-to-end
-    dx_x, g_x, p_x = pcg_mod.pcg_step(problem, state, lam, tables=t)
-    np.testing.assert_allclose(float(g_x), float(g_x))
+    # full pcg step agrees end-to-end: fused (Pallas, interpret mode on
+    # CPU) assembly vs XLA assembly must produce the same step
+    dx_x, g_x, p_x = pcg_mod.pcg_step(problem, state, lam, tables=t,
+                                      fused=False)
+    dx_f, g_f, p_f = pcg_mod.pcg_step(problem, state, lam, tables=t,
+                                      fused=True)
+    np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-4)
+    np.testing.assert_allclose(float(p_f), float(p_x), rtol=1e-3)
+    scale = max(1.0, float(np.abs(np.asarray(dx_x)).max()))
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_x),
+                               rtol=1e-3, atol=1e-4 * scale)
