@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--strategy", default="dogleg", choices=["dogleg", "lm"],
                    help="trust-region strategy (reference: DOGLEG/"
                         "SUBSPACE_DOGLEG, tests/dataset_vo_sun.cpp:142-143)")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="checkpoint-restart: persist the pass state every "
+                        "--checkpoint-every windows (per-pass files "
+                        "PATH.vo / PATH.sun); an interrupted run resumes "
+                        "from the last checkpoint (capability the "
+                        "reference lacks, SURVEY.md §5.4)")
+    p.add_argument("--checkpoint-every", type=int, default=25,
+                   metavar="N", help="windows between checkpoints")
     args = p.parse_args(argv)
     # x64 stays enabled even in f32 mode: the state/factor path runs in
     # f32 (fast TPU mode) while the window solver promotes only the tiny
@@ -64,11 +72,15 @@ def main(argv=None):
         file=sys.stderr,
     )
 
+    def ckpt(tag):
+        return f"{args.checkpoint}.{tag}" if args.checkpoint else None
+
     if not args.sun_only:
         print("Computing VO without sun measurements", file=sys.stderr)
         summaries = dataset.solve_sliding_window(
             window=args.window, use_sun=False, config=config, progress=True,
-            strategy=args.strategy,
+            strategy=args.strategy, checkpoint=ckpt("vo"),
+            checkpoint_every=args.checkpoint_every,
         )
         print_reports(summaries, args.report)
         dataset.write_csv(args.track_file)
@@ -83,6 +95,8 @@ def main(argv=None):
         config=config,
         progress=True,
         strategy=args.strategy,
+        checkpoint=ckpt("sun"),
+        checkpoint_every=args.checkpoint_every,
     )
     print_reports(summaries, args.report)
 

@@ -563,14 +563,15 @@ class DatasetProblemSun(DatasetProblem):
         ``scan=None`` (default) runs the DEVICE-RESIDENT pass
         (`problems.scan_pipeline`: the whole sliding-window chain as one
         lax.scan — zero per-window host round trips, ~100x less relay
-        latency on TPU) unless checkpointing is requested; ``scan=False``
-        forces the host per-window loop."""
+        latency on TPU); with ``checkpoint`` set the scan runs in
+        checkpoint_every-sized chunks, persisting the carry between
+        chunks. ``scan=False`` forces the host per-window loop."""
         from ceres_slam_tpu.utils import checkpoint as ckpt_mod
 
         config = config or dense.SolveConfig(max_iters=100)
         if scan is None:
-            scan = checkpoint is None
-        if scan and checkpoint is None:
+            scan = True
+        if scan:
             from ceres_slam_tpu.problems import scan_pipeline
 
             try:
@@ -579,6 +580,7 @@ class DatasetProblemSun(DatasetProblem):
                     huber_param=huber_param, az_err_thresh=az_err_thresh,
                     zen_err_thresh=zen_err_thresh, config=config,
                     strategy=strategy, progress=progress,
+                    checkpoint=checkpoint, checkpoint_every=checkpoint_every,
                 )
                 return scan_pipeline.unstack_summaries(summaries, ok)
             except scan_pipeline.ScanReplicationError as e:

@@ -33,6 +33,7 @@ inside the pass.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -85,6 +86,9 @@ class PassStatics(NamedTuple):
     # failing window's earlier pairs still compound, dataset_problem.cpp:
     # 241 runs before the failure return); Kw-1 when the window is ok
     n_chain: jnp.ndarray  # [W] int32
+    # False = no-op pad window (chunked checkpointing pads the last chunk
+    # to the fixed chunk shape); the carry passes through unchanged
+    active: jnp.ndarray  # [W] bool
 
 
 def precompute_pass(ds, window: int):
@@ -196,6 +200,7 @@ def _precompute_pass_host(ds, window: int):
             np.stack([ds._pair_T[k] for k in range(k1 + 1, k2)]))
         fields["ransac_ok"].append(ransac_ok)
         fields["n_chain"].append(np.int32(n_chain))
+        fields["active"].append(True)
         ds.reset_points()
 
     # Solver-facing floats are cast to the solve dtype; the VO-chain
@@ -300,7 +305,7 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
         # the stale prior at k2-1 (:276-281). Same index at window 2.
         write_val = jnp.where(w.ransac_ok & cov_ok, cov, prior_cov)
         write_idx = jnp.where(w.ransac_ok, k1 + 1, k1 + Kw - 1)
-        cov_full = jax.lax.dynamic_update_slice(
+        cov_full_new = jax.lax.dynamic_update_slice(
             cov_full, write_val[None], (write_idx, 0, 0))
         # RANSAC degeneracy: the host loop's exact partial-chain writes —
         # rows up to the failing pair keep their compounded VO values,
@@ -312,8 +317,11 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
         fb_rows = fb_rows.at[Kw - 1].set(old_rows[0])
         new_rows = jnp.where(w.ransac_ok,
                              state.poses.astype(poses_full.dtype), fb_rows)
-        poses_full = jax.lax.dynamic_update_slice(poses_full, new_rows,
-                                                  (k1, 0))
+        new_poses_full = jax.lax.dynamic_update_slice(poses_full, new_rows,
+                                                      (k1, 0))
+        # inactive pad windows (chunked checkpointing) are no-ops
+        poses_full = jnp.where(w.active, new_poses_full, poses_full)
+        cov_full = jnp.where(w.active, cov_full_new, cov_full)
         return (poses_full, cov_full), summary
 
     (poses_full, cov_full), summaries = jax.lax.scan(
@@ -321,21 +329,49 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
     return poses_full, summaries, cov_full
 
 
+def _chunk_statics(statics: PassStatics, c0: int, c1: int, C: int):
+    """Slice windows [c0, c1) and pad to the fixed chunk length C with
+    inactive (no-op) copies of the last window, so every chunk shares one
+    compiled program."""
+    n = c1 - c0
+
+    def slc(x):
+        part = x[c0:c1]
+        if n < C:
+            part = jnp.concatenate(
+                [part, jnp.repeat(part[-1:], C - n, axis=0)], axis=0)
+        return part
+
+    ch = jax.tree_util.tree_map(slc, statics)
+    return ch._replace(active=ch.active & (jnp.arange(C) < n))
+
+
 def solve_sliding_window_scan(
     ds, window: int = 2, use_sun: bool = False, huber_param: float = 0.0,
     az_err_thresh: float = 1000.0, zen_err_thresh: float = 1000.0,
     config: dense.SolveConfig | None = None, strategy: str = "dogleg",
-    progress: bool = False,
+    progress: bool = False, checkpoint: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Drop-in device-resident counterpart of
-    `DatasetProblemSun.solve_sliding_window` (no checkpointing; the host
-    loop remains for that). Returns the stacked per-window summaries."""
+    `DatasetProblemSun.solve_sliding_window`. Returns
+    ``(stacked summaries, per-window ransac_ok mask)``.
+
+    ``checkpoint`` keeps the pass device-resident while adding
+    checkpoint-restart: the scan runs in fixed-size chunks of
+    ``checkpoint_every`` windows (one compiled program — the last chunk
+    is padded with inactive no-op windows) and the carry — (poses,
+    pose-covariance array), exactly the checkpoint payload — is persisted
+    between chunks. Resume restores the carry and re-enters at the next
+    chunk boundary."""
+    from ceres_slam_tpu.utils import checkpoint as ckpt_mod
+
     config = config or dense.SolveConfig(max_iters=100)
     dt = ds._dt
     statics, point_idx, O, M_pad = precompute_pass(ds, window)
+    W = int(statics.k1.shape[0])
     if progress:
-        print(f"  scan pass: {int(statics.k1.shape[0])} windows, "
-              f"O={O}, M_pad={M_pad}", flush=True)
+        print(f"  scan pass: {W} windows, O={O}, M_pad={M_pad}", flush=True)
     # fused=False: the Pallas mega-kernel exists to cut per-dispatch
     # latency, which the scan already eliminates — and Mosaic currently
     # fails to lower it inside a lax.scan body ("failed to legalize
@@ -346,22 +382,59 @@ def solve_sliding_window_scan(
     cov_dtype = (jnp.float64 if jax.config.jax_enable_x64
                  else jnp.asarray(0.0, dt).dtype)
     chain_dtype = jnp.float64 if jax.config.jax_enable_x64 else dt
+
+    k_start = 0
+    if checkpoint:
+        restored = ckpt_mod.load(checkpoint)
+        if restored is not None:
+            k_start, arrays = restored
+            ds.poses[:] = arrays["poses"]
+            ds.pose_covars[:] = arrays["pose_covars"]
+            if progress:
+                print(f"  resumed from checkpoint at window {k_start}",
+                      flush=True)
+
+    def run(chunk, poses0, cov0):
+        return _run_scan(
+            chunk, point_idx, poses0, cov0, ds.camera.astype(dt),
+            jnp.asarray(float(huber_param), dt),
+            jnp.asarray(float(az_err_thresh), dt),
+            jnp.asarray(float(zen_err_thresh), dt),
+            jnp.asarray(ds._covar_floor, cov_dtype),
+            jnp.asarray(bool(use_sun)),
+            window, O, config, strategy, fused, interpret,
+        )
+
     poses0 = jnp.asarray(ds.poses, chain_dtype)
     cov0 = jnp.asarray(ds.pose_covars, cov_dtype)
-    poses_full, summaries, cov_full = _run_scan(
-        statics, point_idx, poses0, cov0, ds.camera.astype(dt),
-        jnp.asarray(float(huber_param), dt),
-        jnp.asarray(float(az_err_thresh), dt),
-        jnp.asarray(float(zen_err_thresh), dt),
-        jnp.asarray(ds._covar_floor, cov_dtype),
-        jnp.asarray(bool(use_sun)),
-        window, O, config, strategy, fused, interpret,
-    )
+    if not checkpoint:
+        poses_full, summaries, cov_full = run(statics, poses0, cov0)
+    else:
+        C = max(1, int(checkpoint_every))
+        parts = []
+        for c0 in range(k_start, W, C):
+            c1 = min(c0 + C, W)
+            chunk = _chunk_statics(statics, c0, c1, C)
+            poses0, s, cov0 = run(chunk, poses0, cov0)
+            parts.append(jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[: c1 - c0], s))
+            ckpt_mod.save(checkpoint, c1, {
+                "poses": np.asarray(poses0, np.float64),
+                "pose_covars": np.asarray(cov0, np.float64)})
+            if progress:
+                print(f"  checkpointed at window {c1}/{W}", flush=True)
+        poses_full, cov_full = poses0, cov0
+        # (a resume at/past the last window leaves no chunks to run)
+        summaries = (jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *parts)
+            if parts else [])
     ds.poses[:] = np.asarray(poses_full, np.float64)
     ds.pose_covars[:] = np.asarray(cov_full, np.float64)
     ds.reset_points()
+    if checkpoint and os.path.exists(checkpoint):
+        os.unlink(checkpoint)  # pass completed; clear stale state
     # failed windows append no summary in the host loop
-    return summaries, np.asarray(statics.ransac_ok)
+    return summaries, np.asarray(statics.ransac_ok)[k_start:W]
 
 
 def unstack_summaries(summaries, ok=None):
@@ -369,7 +442,10 @@ def unstack_summaries(summaries, ok=None):
     loop's return shape, consumed by apps.common.print_reports). ``ok``
     (the per-window ransac_ok mask) drops failed windows — the host loop
     appends no summary for them."""
-    n = int(jax.tree_util.tree_leaves(summaries)[0].shape[0])
+    leaves = jax.tree_util.tree_leaves(summaries)
+    if not leaves:
+        return []
+    n = int(leaves[0].shape[0])
     arrs = jax.tree_util.tree_map(np.asarray, summaries)
     keep = range(n) if ok is None else np.nonzero(np.asarray(ok))[0]
     return [jax.tree_util.tree_map(lambda x: x[i], arrs) for i in keep]

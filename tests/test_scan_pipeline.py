@@ -112,6 +112,67 @@ def test_scan_degenerate_window_matches_host(tmp_path, window):
     assert cov_err.max() < 1e-7, cov_err.max()
 
 
+def test_scan_chunked_checkpoint_matches_unchunked(sim_files, tmp_path):
+    """Checkpointing chunks the scan (one compiled program, inactive pad
+    windows) without changing the result, and clears its file on
+    completion."""
+    cfg = dense.SolveConfig(max_iters=60, nonmonotonic=True)
+    ds_ref = _load(sim_files)
+    ds_ref.solve_sliding_window(window=2, use_sun=True, config=cfg)
+    ds_ck = _load(sim_files)
+    path = str(tmp_path / "scan_ck.npz")
+    summaries = ds_ck.solve_sliding_window(
+        window=2, use_sun=True, config=cfg, checkpoint=path,
+        checkpoint_every=4)
+    assert not os.path.exists(path)
+    assert len(summaries) == ds_ck.num_states - 1
+    np.testing.assert_allclose(ds_ck.poses, ds_ref.poses, atol=1e-9)
+    np.testing.assert_allclose(ds_ck.pose_covars, ds_ref.pose_covars,
+                               atol=1e-12)
+
+
+def test_scan_kill_and_resume_cli(sim_files, tmp_path, monkeypatch):
+    """Kill-and-resume THROUGH THE APP: interrupt the flagship CLI
+    mid-pass (after the 2nd checkpoint write), re-run the identical
+    command, and require the final trajectories to match an
+    uninterrupted run (VERDICT r3 item 5)."""
+    from ceres_slam_tpu.apps.dataset_vo_sun import main
+    from ceres_slam_tpu.utils import checkpoint as ckpt_mod
+    from ceres_slam_tpu.utils import csvio
+
+    argv = [f"{sim_files}.csv", f"{sim_files}_sun_ref.csv",
+            f"{sim_files}_sun_dir.csv", "--window", "2",
+            "--max-iters", "60"]
+    # uninterrupted baseline
+    main(argv)
+    ref_vo = csvio.read_poses_csv(f"{sim_files}_poses.csv")
+    ref_sun = csvio.read_poses_csv(f"{sim_files}_dir_poses.csv")
+
+    ck = str(tmp_path / "app_ck")
+    argv_ck = argv + ["--checkpoint", ck, "--checkpoint-every", "4"]
+    real_save = ckpt_mod.save
+    calls = {"n": 0}
+
+    def dying_save(path, step, arrays):
+        real_save(path, step, arrays)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated kill")
+
+    monkeypatch.setattr(ckpt_mod, "save", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        main(argv_ck)
+    monkeypatch.setattr(ckpt_mod, "save", real_save)
+    assert os.path.exists(ck + ".vo")  # died mid-pass-1, state persisted
+    main(argv_ck)  # resumes pass 1 at window 8, then runs pass 2
+    assert not os.path.exists(ck + ".vo") and not os.path.exists(ck + ".sun")
+    np.testing.assert_allclose(
+        csvio.read_poses_csv(f"{sim_files}_poses.csv"), ref_vo, atol=1e-9)
+    np.testing.assert_allclose(
+        csvio.read_poses_csv(f"{sim_files}_dir_poses.csv"), ref_sun,
+        atol=1e-9)
+
+
 def test_scan_replication_divergence_falls_back(sim_files, monkeypatch):
     """A replication discrepancy in the scan precompute must degrade to
     the host loop, not kill the pass (VERDICT r3; reference posture
