@@ -48,15 +48,31 @@ def _local_obs_quantities(problem, state):
     return r, J_pose, J_pt, U, st.pose_idx, st.point_idx
 
 
-def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
-    """Build the distributed damped-solve step for the shared LM core."""
+def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6,
+                          tracks=None, slot_idx=None):
+    """Build the distributed damped-solve step for the shared LM core.
+
+    ``tracks`` (a `banded.TrackInfo`) + ``slot_idx`` (its
+    `banded.slot_scatter_index`, sharded with the observations) swap the
+    block-Jacobi preconditioner for the banded block-cyclic-reduction
+    factorization — the structure-exploiting SuiteSparse-role solve
+    (solver/banded.py) kept under sharding: each shard scatters its local
+    whitened coupling rows, ONE [J*L, 18] psum per LM iteration builds
+    the per-landmark slot rows V, and the (small) super-tridiagonal
+    factorization is replicated; the per-CG-iteration traffic is
+    unchanged (two small psums)."""
 
     axes = _axes(mesh)
 
-    def step(problem, state, lam):
+    def step(problem, state, lam, slot_idx=slot_idx):
         K = state.poses.shape[0]
         J = state.points.shape[0]
         dtype = state.poses.dtype
+        if tracks is not None and slot_idx is None:
+            raise ValueError("banded sharded PCG needs slot_idx "
+                             "(banded.slot_scatter_index)")
+        extra = (slot_idx,) if tracks is not None else ()
+        extra_specs = (P(axes),) if tracks is not None else ()
 
         @partial(
             jax.shard_map,
@@ -67,10 +83,10 @@ def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
                 ),
                 P(),
                 P(),
-            ),
+            ) + extra_specs,
             out_specs=(P(), P(), P()),
         )
-        def solve_shard(problem, state, lam):
+        def solve_shard(problem, state, lam, *extra):
             seg = jax.ops.segment_sum
             psum = lambda x: jax.lax.psum(x, axes)
             r, J_pose, J_pt, U, pose_idx, point_idx = _local_obs_quantities(
@@ -115,22 +131,48 @@ def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
                 )
                 return jnp.einsum("kab,kb->ka", Hpp_d, v) - Uy
 
-            # exact block-Jacobi diag of S (psum of per-obs terms)
-            UCU = psum(
-                seg(
-                    jnp.einsum("nij,njk,nlk->nil", U, Cinv[point_idx], U),
-                    pose_idx,
-                    num_segments=K,
-                )
-            )
-            S_diag = Hpp_d - UCU
-            chol = jnp.linalg.cholesky(S_diag)
+            if tracks is not None:
+                # banded preconditioner: scatter local whitened rows into
+                # the per-landmark slot layout, ONE psum builds V, then
+                # the replicated-small cyclic-reduction factorization
+                from ceres_slam_tpu.solver import banded
 
-            def precond(rv):
-                y = jax.scipy.linalg.solve_triangular(chol, rv[..., None], lower=True)
-                return jax.scipy.linalg.solve_triangular(
-                    jnp.swapaxes(chol, -1, -2), y, lower=False
-                )[..., 0]
+                (slot_idx_local,) = extra
+                Lc = jnp.linalg.cholesky(Cinv)  # [J, 3, 3] replicated
+                UL = jnp.einsum("nab,nbc->nac", U, Lc[point_idx])
+                V = psum(seg(UL.reshape(-1, 18), slot_idx_local,
+                             num_segments=J * tracks.L + 1))
+                V = V[: J * tracks.L].reshape(J, tracks.L * 18)
+                D, E = banded.super_tridiag_from_V(V, Hpp_d, tracks)
+                levels = banded.ctridiag_factor(D, E)
+                m = 6 * tracks.L
+                n_pad6 = tracks.n_super * tracks.L * 6
+
+                def precond(rv):
+                    rf = jnp.concatenate(
+                        [rv.reshape(-1),
+                         jnp.zeros(n_pad6 - 6 * K, dtype)])
+                    x = banded.ctridiag_solve(
+                        levels, rf.reshape(tracks.n_super, m))
+                    return x.reshape(-1)[: 6 * K].reshape(K, 6)
+            else:
+                # exact block-Jacobi diag of S (psum of per-obs terms)
+                UCU = psum(
+                    seg(
+                        jnp.einsum("nij,njk,nlk->nil", U, Cinv[point_idx], U),
+                        pose_idx,
+                        num_segments=K,
+                    )
+                )
+                S_diag = Hpp_d - UCU
+                chol = jnp.linalg.cholesky(S_diag)
+
+                def precond(rv):
+                    y = jax.scipy.linalg.solve_triangular(
+                        chol, rv[..., None], lower=True)
+                    return jax.scipy.linalg.solve_triangular(
+                        jnp.swapaxes(chol, -1, -2), y, lower=False
+                    )[..., 0]
 
             y0 = jnp.einsum("jab,jb->ja", Cinv, gl)
             Uy0 = psum(
@@ -188,7 +230,7 @@ def make_sharded_pcg_step(mesh, max_cg_iters: int = 100, cg_tol: float = 1e-6):
             dx = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
             return dx, grad_norm, pred
 
-        return solve_shard(problem, state, lam)
+        return solve_shard(problem, state, lam, *extra)
 
     return step
 
@@ -200,11 +242,32 @@ def solve_ba_pcg_sharded(
     config: lm.SolveConfig = lm.SolveConfig(),
     max_cg_iters: int = 100,
     cg_tol: float = 1e-6,
+    precond: str = "jacobi",
 ):
-    """Distributed LM + Schur-PCG solve; solution replicated on the mesh."""
+    """Distributed LM + Schur-PCG solve; solution replicated on the mesh.
+
+    ``precond``: 'jacobi' (exact block-Jacobi diagonal of S) or 'banded'
+    (distributed block-cyclic-reduction over the banded part of S — the
+    structure-exploiting solve for contiguous bounded tracks)."""
+    tracks = slot_idx = None
+    if precond == "banded":
+        from ceres_slam_tpu.solver import banded
+
+        st = problem.stereo
+        tracks = banded.build_track_info(
+            st.pose_idx, st.point_idx, state0.poses.shape[0],
+            state0.points.shape[0],
+            valid=st.valid & problem.point_valid[st.point_idx])
+        slot_idx = jnp.asarray(banded.slot_scatter_index(
+            tracks, int(st.pose_idx.shape[0])))
+        axes = _axes(mesh)
+        slot_idx = jax.device_put(slot_idx, NamedSharding(mesh, P(axes)))
+    elif precond != "jacobi":
+        raise ValueError(f"unknown preconditioner: {precond!r}")
     problem = shard_problem(problem, mesh)
     state0 = jax.device_put(state0, NamedSharding(mesh, P()))
-    step = make_sharded_pcg_step(mesh, max_cg_iters, cg_tol)
+    step = make_sharded_pcg_step(mesh, max_cg_iters, cg_tol,
+                                 tracks=tracks, slot_idx=slot_idx)
 
     from ceres_slam_tpu.parallel.sharded_ba import make_sharded_cost
 

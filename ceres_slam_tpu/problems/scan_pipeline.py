@@ -226,11 +226,9 @@ def _inv_sqrt_psd6(C):
     return (V * (1.0 / jnp.sqrt(w))[None, :]) @ V.T
 
 
-@partial(jax.jit, static_argnames=(
-    "Kw", "O", "config", "strategy", "fused", "interpret"))
-def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
-              sun_huber, az_thresh, zen_thresh, covar_floor, use_sun,
-              Kw, O, config, strategy, fused, interpret):
+def _scan_core(statics: PassStatics, point_idx, poses0, cov0, camera,
+               sun_huber, az_thresh, zen_thresh, covar_floor, use_sun,
+               Kw, O, config, strategy, fused, interpret):
     dt = poses0.dtype
     J = statics.point_valid.shape[1]
     cov_dtype = cov0.dtype  # f64 when x64 on (the prior chain needs it)
@@ -329,6 +327,32 @@ def _run_scan(statics: PassStatics, point_idx, poses0, cov0, camera,
     return poses_full, summaries, cov_full
 
 
+_run_scan = partial(jax.jit, static_argnames=(
+    "Kw", "O", "config", "strategy", "fused", "interpret"))(_scan_core)
+
+
+@partial(jax.jit, static_argnames=(
+    "Kw", "O", "config", "strategy", "fused", "interpret"))
+def _run_scan_batch(statics, point_idx, poses0, cov0, camera,
+                    sun_huber, az_thresh, zen_thresh, covar_floor, use_sun,
+                    Kw, O, config, strategy, fused, interpret):
+    """vmap of the scan pass over a leading batch of INDEPENDENT runs
+    (sequences x sun configurations): the single-chain windows are
+    latency/serialization-bound (chip >95% idle, solver/window.py:7), so
+    concurrent chains are nearly free — the whole ba_all_sims grid solves
+    in ~the wall time of one sequence."""
+
+    def one(statics, point_idx, poses0, cov0, camera, sun_huber,
+            az_thresh, zen_thresh, use_sun):
+        return _scan_core(statics, point_idx, poses0, cov0, camera,
+                          sun_huber, az_thresh, zen_thresh, covar_floor,
+                          use_sun, Kw, O, config, strategy, fused,
+                          interpret)
+
+    return jax.vmap(one)(statics, point_idx, poses0, cov0, camera,
+                         sun_huber, az_thresh, zen_thresh, use_sun)
+
+
 def _chunk_statics(statics: PassStatics, c0: int, c1: int, C: int):
     """Slice windows [c0, c1) and pad to the fixed chunk length C with
     inactive (no-op) copies of the last window, so every chunk shares one
@@ -366,12 +390,16 @@ def solve_sliding_window_scan(
     chunk boundary."""
     from ceres_slam_tpu.utils import checkpoint as ckpt_mod
 
+    import time as _time
+
     config = config or dense.SolveConfig(max_iters=100)
     dt = ds._dt
+    _t0 = _time.perf_counter()
     statics, point_idx, O, M_pad = precompute_pass(ds, window)
     W = int(statics.k1.shape[0])
     if progress:
-        print(f"  scan pass: {W} windows, O={O}, M_pad={M_pad}", flush=True)
+        print(f"  scan pass: {W} windows, O={O}, M_pad={M_pad} "
+              f"(precompute {_time.perf_counter() - _t0:.1f}s)", flush=True)
     # fused=False: the Pallas mega-kernel exists to cut per-dispatch
     # latency, which the scan already eliminates — and Mosaic currently
     # fails to lower it inside a lax.scan body ("failed to legalize
@@ -408,7 +436,12 @@ def solve_sliding_window_scan(
     poses0 = jnp.asarray(ds.poses, chain_dtype)
     cov0 = jnp.asarray(ds.pose_covars, cov_dtype)
     if not checkpoint:
+        _t1 = _time.perf_counter()
         poses_full, summaries, cov_full = run(statics, poses0, cov0)
+        if progress:
+            float(jnp.sum(poses_full))  # force completion for the timing
+            print(f"  scan solve: {_time.perf_counter() - _t1:.1f}s "
+                  f"({W} windows)", flush=True)
     else:
         C = max(1, int(checkpoint_every))
         parts = []

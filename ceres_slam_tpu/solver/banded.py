@@ -178,6 +178,20 @@ def build_track_info(pose_idx, point_idx, K: int, J: int,
 # ---------------------------------------------------------------------------
 
 
+def slot_scatter_index(t: TrackInfo, N: int) -> np.ndarray:
+    """Host: per-observation flat slot index ``j*L + o`` (or the dump row
+    ``J*L`` for obs outside any eligible track) — the scatter-side dual
+    of the ``slots`` gather table, used by the DISTRIBUTED preconditioner
+    (each shard scatters its local whitened rows, one psum builds V)."""
+    slots = np.asarray(t.slots)
+    w = np.asarray(t.slot_w)
+    J, L = slots.shape
+    out = np.full(N, J * L, np.int32)
+    jj, oo = np.nonzero(w > 0)
+    out[slots[jj, oo]] = (jj * L + oo).astype(np.int32)
+    return out
+
+
 def build_super_tridiag(b, t: TrackInfo):
     """Assemble the super-block tridiagonal of the banded part of S.
 
@@ -186,10 +200,8 @@ def build_super_tridiag(b, t: TrackInfo):
     Returns D [n_super, m, m], E [n_super-1, m, m] with m = 6L.
     """
     dtype = b.U18.dtype
-    K = b.Hpp.shape[0]
     J = b.Cinv.shape[0]
-    L, n_super = t.L, t.n_super
-    m = 6 * L
+    L = t.L
 
     # per-landmark whitened slot rows V_j [6L, 3]: slot o's U block times
     # Lc_j (C^{-1} = Lc Lc^T), stacked at rows 6o..6o+5, so the banded
@@ -201,6 +213,19 @@ def build_super_tridiag(b, t: TrackInfo):
     UL18 = pcg.whitened_u18(b)  # [N, 18]: U C^{-1} U^T = UL UL^T
     V = (UL18[t.slots] * t.slot_w.astype(dtype)[..., None]
          ).reshape(J, L * 18)  # flat rows, f = o*18 + a*3 + c
+    return super_tridiag_from_V(V, b.Hpp, t)
+
+
+def super_tridiag_from_V(V: jnp.ndarray, Hpp: jnp.ndarray, t: TrackInfo):
+    """D/E assembly from the whitened per-landmark slot rows ``V``
+    [J, L*18] and the damped pose diagonal ``Hpp`` [K, 6, 6] — the shared
+    back half of `build_super_tridiag`, callable where V was built
+    distributively (scatter + psum in `parallel.sharded_pcg`)."""
+    dtype = V.dtype
+    K = Hpp.shape[0]
+    J = V.shape[0]
+    L, n_super = t.L, t.n_super
+    m = 6 * L
 
     # bucketed Gram: per bin, A = [members*3, m] whitened columns, then
     # M_bin = A^T A via one batched MXU matmul; bins sum into their
@@ -222,10 +247,8 @@ def build_super_tridiag(b, t: TrackInfo):
         M = jnp.concatenate(
             [M, jnp.zeros((pad_rows, m, m), dtype)], axis=0)
         Hpp = jnp.concatenate(
-            [b.Hpp, jnp.broadcast_to(jnp.eye(6, dtype=dtype),
-                                     (pad_rows, 6, 6))], axis=0)
-    else:
-        Hpp = b.Hpp
+            [Hpp, jnp.broadcast_to(jnp.eye(6, dtype=dtype),
+                                   (pad_rows, 6, 6))], axis=0)
     Mq = M.reshape(n_super, L, m, m)  # [q, r, m, m]
     # window accumulator [q, 2m, 2m]: sum_r Mq[q, r] at offset (6r, 6r)
     win = jnp.zeros((n_super, 2 * m, 2 * m), dtype)
