@@ -51,10 +51,11 @@ def build(dtype):
     return problem, state
 
 
-def lm_loop_fn(problem):
-    """Production LM loop: the scatter-free Schur window solver, fused
-    Pallas factor kernel on TPU / pure-XLA blocks elsewhere — one jitted
-    call for the whole trust-region loop.
+def lm_loop_fn(problem, strategy="lm"):
+    """Production trust-region loop (LM or the flagship's SUBSPACE_DOGLEG
+    default): the scatter-free Schur window solver, fused Pallas factor
+    kernel on TPU / pure-XLA blocks elsewhere — one jitted call for the
+    whole trust-region loop.
 
     The window layout (gather tables + one-hots) is built ONCE here, as
     production does per sliding-window pass, and is NOT in the timed
@@ -74,7 +75,8 @@ def lm_loop_fn(problem):
     layout = window.build_window_layout(problem, K, J)
 
     def run(problem, state):
-        return window._solve_jit(layout, problem, state, cfg, fused, not fused)
+        return window._solve_jit(layout, problem, state, cfg, fused,
+                                 not fused, strategy)
 
     return run
 
@@ -120,9 +122,9 @@ def _sync(x) -> float:
     return float(x)  # forces device->host fetch (real sync under the relay)
 
 
-def measure_lm(dtype) -> float:
+def measure_lm(dtype, strategy="lm") -> float:
     problem, state = build(dtype)
-    run = lm_loop_fn(problem)
+    run = lm_loop_fn(problem, strategy)
     _, summary = run(problem, state)  # compile + warm
     iters = int(summary.iterations)
     # Bench hygiene (BASELINE.md "what bench.py measures"): the rate is
@@ -252,6 +254,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "float32")
         import jax.numpy as jnp
 
         # The honest CPU baseline is the host's BEST solver for this
@@ -265,10 +268,19 @@ def main():
         return
 
     import jax
+
+    # production precision policy (apps/common.setup_jax): full-f32
+    # matmuls — bf16 MXU passes corrupt geometry (backend-dependent
+    # RANSAC inlier sets, measured r4). The bench measures what ships.
+    # features.match_descriptors opts back into bf16 explicitly.
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
     lm = measure_lm(jnp.float32)
+    # the flagship ships SUBSPACE_DOGLEG (tests/dataset_vo_sun.cpp:142-143);
+    # record that configuration in the driver-captured artifact too
+    dogleg = measure_lm(jnp.float32, strategy="dogleg")
     pcg = measure_pcg(jnp.float32)
     ransac = measure_ransac(jnp.float32)
     matching = measure_matching(jnp.float32)
@@ -298,6 +310,7 @@ def main():
                 "platform": platform,
                 "problem": {"K": K, "J": J, "n_obs": N_OBS, "dof": 6 * K + 3 * J},
                 "cpu_lm_iters_per_s": round(cpu_lm, 3) if cpu_lm == cpu_lm else None,
+                "dogleg_iters_per_s": round(dogleg, 3),
                 "pcg_lm_iters_per_s": round(pcg, 3),
                 "ransac_point_hypotheses_per_s": round(ransac, 1),
                 "matching_pair_scores_per_s": round(matching, 1),

@@ -26,6 +26,15 @@ def setup_jax(platform: str | None = None, x64: bool = True):
         jax.config.update("jax_platforms", platform)
     if x64:
         jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to ONE bf16 MXU pass (~8-bit mantissa).
+    # That is fine for descriptor-matching scores (features.py opts back
+    # in explicitly) but corrupts geometry: RANSAC reprojection scoring
+    # through a bf16 R@p is off by whole pixels against a 4 px^2 inlier
+    # threshold, making inlier sets BACKEND-DEPENDENT (42/199 triangle200
+    # pairs differed TPU-vs-CPU, ATE 0.52 vs 0.31 — measured r4). Full
+    # f32 (3-pass) everywhere geometry flows; the small-dim factor
+    # contractions are nowhere near MXU-bound.
+    jax.config.update("jax_default_matmul_precision", "float32")
     from ceres_slam_tpu.utils import hostcache
 
     hostcache.configure(jax.config, platform=platform)

@@ -117,7 +117,13 @@ def match_descriptors(
     partner in b (BFMatcher crossCheck=true semantics, node :144-148),
     subject to the similarity threshold and an optional pairwise gate
     (e.g. epipolar constraints)."""
-    sim = desc_a @ desc_b.T  # [Na, Nb] — MXU matmul
+    # bf16 MXU pass is INTENTIONAL here (overrides the pipelines' f32
+    # default-matmul policy): similarity ranking of unit-normalized
+    # descriptors is robust to an 8-bit mantissa, cross-checking kills
+    # near-ties, and this [Na, Nb] matmul is the one genuinely
+    # MXU-throughput-bound op in the front end.
+    sim = jnp.dot(desc_a, desc_b.T,
+                  precision=jax.lax.Precision.DEFAULT)  # [Na, Nb]
     mask = valid_a[:, None] & valid_b[None, :]
     if gate is not None:
         mask = mask & gate

@@ -188,7 +188,10 @@ class DatasetProblem:
         high-latency device link this dominates wall time. One vmapped
         RANSAC over all pairs (chunked) replaces K-1 sequential calls.
         Results are bit-identical to the per-call path (same per-pair PRNG
-        keys)."""
+        keys). Idempotent: a second call (e.g. the second flagship pass,
+        or a sibling dataset that had the cache copied in) is a no-op."""
+        if getattr(self, "_pair_T", None) is not None:
+            return
         K = self.num_states
         P = self._match_pad
         pts0 = np.zeros((K, P, 3))

@@ -107,6 +107,108 @@ def measure_window_strategy(strategy: str, dtype):
             "it_s": round(reps * iters / dt, 2), "final_cost": final}
 
 
+def measure_phong(dtype, num_states=200, num_points=1000):
+    """Workload #2 (tests/dataset_ba_phong.cpp:79-87): FULL-BATCH Phong BA
+    through the vertex-Schur elimination path (the SPARSE_NORMAL_CHOLESKY
+    role) — poses + vertex positions/normals + shared materials/textures
+    + light, jointly. Rate = LM iterations/s at a 200-state scene."""
+    import tempfile
+
+    import jax
+
+    from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
+    from ceres_slam_tpu.solver import lm, phong_schur
+    from ceres_slam_tpu.utils import sim
+
+    ds = sim.generate_phong(num_states=num_states, num_points=num_points,
+                            seed=11)
+    with tempfile.TemporaryDirectory() as d:
+        track = os.path.join(d, "phong.csv")
+        sim.write_phong_track_csv(ds, track)
+        prob = DatasetProblemPhong.read_csv(track)
+    prob.dtype = str(jax.numpy.dtype(dtype))
+    prob.compute_initial_guess()  # VO + median-texture init: real descent
+    n_obs_pad, n_vtx_pad = prob._window_budget(num_states)
+    problem, state, _ = prob.build_window_problem(
+        0, num_states, n_obs_pad, n_vtx_pad)
+    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0,
+                         run_full_budget=True)
+
+    def run():
+        return phong_schur.solve_phong_ba_schur_jit(
+            problem, state, cfg, True, False, False)
+
+    t0 = time.perf_counter()
+    _, summary = run()
+    iters = int(summary.iterations)
+    compile_s = time.perf_counter() - t0
+    assert iters == LOOP_ITERS, f"phong bench ran {iters}/{LOOP_ITERS}"
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, summary = run()
+    _sync(summary.final_cost)
+    dt = time.perf_counter() - t0
+    return {"metric": "phong_schur_it_s", "K": num_states,
+            "J": int(prob.num_vertices), "N": int(prob.state_ids.size),
+            "M": int(prob.num_materials),
+            "it_s": round(reps * iters / dt, 2),
+            "compile_s": round(compile_s, 1)}
+
+
+def measure_photometric(dtype, H=240, W=320):
+    """Dense photometric alignment (the ImageError workload,
+    dense_stereo_test.cpp:61-115): one residual per pixel — pose +
+    per-pixel disparity refinement. Rate = LM iterations/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ceres_slam_tpu.apps.dense_stereo import make_scene
+    from ceres_slam_tpu.ops import lie
+    from ceres_slam_tpu.solver import lm
+    from ceres_slam_tpu.solver import photometric as ph
+
+    cam, img_ref, img_trk, gu, gv, disp_ref, T_true = make_scene(
+        H, W, dtype=dtype)
+    rng = np.random.default_rng(0)
+    border = 8
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    sel = ((uu >= border) & (uu < W - border)
+           & (vv >= border) & (vv < H - border)).reshape(-1)
+    idx = jnp.asarray(np.nonzero(sel)[0])
+    ref_uv = jnp.asarray(
+        np.stack([uu.reshape(-1), vv.reshape(-1)], -1)[sel], dtype)
+    disp0 = disp_ref.reshape(-1)[idx] + jnp.asarray(
+        rng.normal(0, 0.3, int(sel.sum())), dtype)
+    problem = ph.PhotometricProblem(
+        camera=cam, ref_uv=ref_uv,
+        ref_intensity=img_ref.reshape(-1)[idx],
+        track_img=img_trk, grad_u=gu, grad_v=gv,
+        valid=jnp.ones(ref_uv.shape[0], bool), disp_meas=disp0,
+        disp_stiffness=jnp.asarray(1.0 / 0.3, dtype))
+    state0 = ph.PhotometricState(
+        T=lie.se3_retract(T_true, jnp.asarray(rng.normal(0, 0.02, 6), dtype)),
+        disparities=disp0)
+    cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0,
+                         run_full_budget=True)
+    run = jax.jit(ph.solve_photometric, static_argnames=("config",))
+    t0 = time.perf_counter()
+    _, summary = run(problem, state0, cfg)
+    iters = int(summary.iterations)
+    compile_s = time.perf_counter() - t0
+    assert iters == LOOP_ITERS, f"photometric ran {iters}/{LOOP_ITERS}"
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, summary = run(problem, state0, cfg)
+    _sync(summary.final_cost)
+    dt = time.perf_counter() - t0
+    return {"metric": "photometric_it_s", "pixels": int(ref_uv.shape[0]),
+            "H": H, "W": W, "it_s": round(reps * iters / dt, 2),
+            "compile_s": round(compile_s, 1)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,6 +217,8 @@ def main():
     # env var alone does NOT win — push it through jax.config.
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # production precision policy (see apps/common.setup_jax)
+    jax.config.update("jax_default_matmul_precision", "float32")
     platform = jax.devices()[0].platform
     scales = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "S", "XL", "XXL"]
@@ -134,6 +238,11 @@ def main():
         print(json.dumps(r), flush=True)
         if platform == "tpu" and "--segsum" in sys.argv:
             r = measure_pcg(s, jnp.float32, force_segment=True)
+            r["platform"] = platform
+            print(json.dumps(r), flush=True)
+    if "--no-workloads" not in sys.argv:
+        for fn in (measure_phong, measure_photometric):
+            r = fn(jnp.float32)
             r["platform"] = platform
             print(json.dumps(r), flush=True)
 
