@@ -30,6 +30,7 @@ CPU verification / covariance chains).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Size of the flat SE(3) parameterization: [t(3) | R row-major (9)].
@@ -201,19 +202,86 @@ def so3_adjoint(C: jnp.ndarray) -> jnp.ndarray:
     return C
 
 
+def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 10):
+    """Batched symmetric 4x4 eigendecomposition by cyclic Jacobi.
+
+    Pure jnp rotations — deliberately NOT `jnp.linalg.eigh/svd`: those
+    lower to LAPACK-style custom calls whose TPU lowering is broken on
+    this toolchain (a bare jitted 3x3 batched SVD SIGABRTs the XLA
+    compiler; embedded in a larger program it silently emits NaN/garbage
+    factors — measured r4, out/r4/tpu_prof.log). Ten cyclic sweeps reach
+    machine precision for 4x4 symmetric matrices on any backend,
+    branch-free. Returns ``(eigenvalues [..., 4], V)`` with eigenvectors
+    in columns (unsorted)."""
+    dtype = A.dtype
+    batch = A.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), batch + (4, 4))
+    V = eye
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+            apq = A[..., p, q]
+            theta = 0.5 * jnp.arctan2(2.0 * apq,
+                                      A[..., p, p] - A[..., q, q])
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            G = eye.at[..., p, p].set(c).at[..., q, q].set(c)
+            G = G.at[..., p, q].set(-s).at[..., q, p].set(s)
+            A = jnp.swapaxes(G, -1, -2) @ A @ G
+            V = V @ G
+    return jnp.diagonal(A, axis1=-2, axis2=-1), V
+
+
+def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion ``[..., 4] = (w, x, y, z)`` -> rotation matrix."""
+    n = jnp.sum(q * q, axis=-1, keepdims=True)
+    q = q / jnp.sqrt(jnp.maximum(n, 1e-300))
+    w, x, y, z = (q[..., i] for i in range(4))
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def nearest_rotation(W: jnp.ndarray) -> jnp.ndarray:
+    """``argmax_R tr(R^T W)`` — the proper rotation nearest to ``W``
+    (Frobenius), via Horn's quaternion method: eigenvector of the
+    largest eigenvalue of the 4x4 profile matrix (`jacobi_eigh4`).
+    Equivalent to SVD-with-det-correction but always well-defined
+    (degenerate/rank-deficient ``W`` included) and TPU-safe (see
+    `jacobi_eigh4` on why SVD is avoided)."""
+    M = jnp.swapaxes(W, -1, -2)
+
+    def m(i, j):
+        return M[..., i, j]
+
+    tr = m(0, 0) + m(1, 1) + m(2, 2)
+    N = jnp.stack([
+        jnp.stack([tr, m(1, 2) - m(2, 1), m(2, 0) - m(0, 2),
+                   m(0, 1) - m(1, 0)], -1),
+        jnp.stack([m(1, 2) - m(2, 1), m(0, 0) - m(1, 1) - m(2, 2),
+                   m(0, 1) + m(1, 0), m(2, 0) + m(0, 2)], -1),
+        jnp.stack([m(2, 0) - m(0, 2), m(0, 1) + m(1, 0),
+                   m(1, 1) - m(0, 0) - m(2, 2), m(1, 2) + m(2, 1)], -1),
+        jnp.stack([m(0, 1) - m(1, 0), m(2, 0) + m(0, 2),
+                   m(1, 2) + m(2, 1), m(2, 2) - m(0, 0) - m(1, 1)], -1),
+    ], axis=-2)
+    vals, V = jacobi_eigh4(N)
+    onehot = jax.nn.one_hot(jnp.argmax(vals, axis=-1), 4, dtype=V.dtype)
+    q = jnp.einsum("...ij,...j->...i", V, onehot)
+    return quat_to_rot(q)
+
+
 def so3_normalize(C: jnp.ndarray) -> jnp.ndarray:
-    """Project onto SO(3) via SVD (so3group.hpp:128-137).
+    """Project onto SO(3) (so3group.hpp:128-137) — the reference uses
+    Eigen SVD; here `nearest_rotation` (same projection, TPU-safe).
 
     The reference disables this inside differentiated ops; use it only
     *between* solves to curb drift of the over-parameterized rotation.
     """
-    U, _, Vt = jnp.linalg.svd(C)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.concatenate(
-        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
-        axis=-1,
-    )
-    return U @ (D[..., :, None] * Vt)
+    return nearest_rotation(C)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,38 @@ DATA_DIR=${DATA_DIR:-out/sims}
 WINDOW=${WINDOW:-2}
 NUM_STATES=${NUM_STATES:-200}
 
+# BATCH=1: the whole grid (3 sequences x {VO + 4 sun configs} = 15
+# independent chains) as ONE vmapped device scan — one compile, one
+# upload, all runs in ~the wall time of the longest chain (the chip is
+# >95% idle on a single latency-bound chain). Identical outputs to the
+# sequential loop below (tests/test_scan_pipeline.py batch tests).
+if [ -n "$BATCH" ]; then
+    for seq in triangle square penta; do
+        name="${seq}${NUM_STATES}"
+        if [ ! -f "$DATA_DIR/${name}.csv" ]; then
+            python -m ceres_slam_tpu.apps.make_sim "$DATA_DIR" --kind "$seq" \
+                --num-states "$NUM_STATES" --sun-noise 0 10 20 30
+        fi
+    done
+    python -m ceres_slam_tpu.apps.dataset_vo_sun_batch \
+        --sims "$DATA_DIR" --num-states "$NUM_STATES" --window "$WINDOW" \
+        ${BATCH_DTYPE:+--dtype "$BATCH_DTYPE"}
+    for seq in triangle square penta; do
+        name="${seq}${NUM_STATES}"
+        for noise in 0 10 20 30; do
+            python -m ceres_slam_tpu.apps.evaluate \
+                "$DATA_DIR/${name}_gtsun${noise}_poses.csv" \
+                "$DATA_DIR/${name}_gt_poses.csv" \
+                --label "$name gtsun$noise"
+        done
+        python -m ceres_slam_tpu.apps.evaluate \
+            "$DATA_DIR/${name}_poses.csv" \
+            "$DATA_DIR/${name}_gt_poses.csv" \
+            --label "$name vo-only"
+    done
+    exit 0
+fi
+
 for seq in triangle square penta; do
     name="${seq}${NUM_STATES}"
     if [ ! -f "$DATA_DIR/${name}.csv" ]; then

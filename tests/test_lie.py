@@ -227,3 +227,58 @@ def test_jit_and_grad_flow():
 
     g = jax.grad(fn)(jnp.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6]), jnp.ones(3))
     assert np.all(np.isfinite(g))
+
+
+class TestNearestRotation:
+    """TPU-safe SO(3) projection (lie.jacobi_eigh4 / nearest_rotation):
+    jnp.linalg.svd is avoided on purpose — its TPU lowering is broken on
+    this toolchain (r4: SIGABRT on a bare jitted batched 3x3 SVD, silent
+    NaN/garbage inside larger programs)."""
+
+    def test_jacobi_eigh4_matches_lapack(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(40, 4, 4))
+        A = A + np.swapaxes(A, -1, -2)
+        vals, V = lie.jacobi_eigh4(jnp.asarray(A))
+        vals, V = np.asarray(vals), np.asarray(V)
+        w_ref = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(np.sort(vals, -1), w_ref,
+                                   rtol=1e-12, atol=1e-12)
+        # A V = V diag(vals)
+        resid = np.einsum("bij,bjk->bik", A, V) - V * vals[:, None, :]
+        assert np.abs(resid).max() < 1e-12
+
+    def test_nearest_rotation_matches_svd(self):
+        rng = np.random.default_rng(3)
+        W = rng.normal(size=(60, 3, 3))
+        R = np.asarray(lie.nearest_rotation(jnp.asarray(W)))
+        U, _, Vt = np.linalg.svd(W)
+        d = np.linalg.det(U) * np.linalg.det(Vt)
+        D = np.stack([np.ones_like(d), np.ones_like(d), d], -1)
+        R_ref = np.einsum("bij,bj,bjk->bik", U, D, Vt)
+        np.testing.assert_allclose(R, R_ref, atol=1e-10)
+
+    def test_nearest_rotation_reflection_case(self):
+        """det(W) < 0 must still produce a PROPER rotation (the SVD path
+        needs an explicit det fix; the quaternion path can't leave
+        SO(3))."""
+        W = np.diag([1.0, 1.0, -1.0])[None]
+        R = np.asarray(lie.nearest_rotation(jnp.asarray(W)))[0]
+        assert np.linalg.det(R) > 0.999
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+    def test_nearest_rotation_degenerate_rank1(self):
+        W = np.outer([1.0, 2.0, 3.0], [0.5, 0.1, -0.2])[None]
+        R = np.asarray(lie.nearest_rotation(jnp.asarray(W)))[0]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) > 0.999
+
+    def test_so3_normalize_projects_drifted_rotation(self):
+        rng = np.random.default_rng(4)
+        C = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 1, (8, 3)))))
+        drift = C + rng.normal(0, 1e-3, C.shape)
+        Cn = np.asarray(lie.so3_normalize(jnp.asarray(drift)))
+        np.testing.assert_allclose(
+            np.einsum("bij,bkj->bik", Cn, Cn),
+            np.broadcast_to(np.eye(3), Cn.shape), atol=1e-12)
+        assert np.abs(Cn - C).max() < 5e-3
