@@ -121,6 +121,10 @@ class DatasetProblem:
             ).copy()
 
     def _init_state(self):
+        import sys
+        import time as _time
+
+        _t0 = _time.perf_counter()
         K, J = self.num_states, self.num_points
         self.poses = np.zeros((K, 12))
         self.poses[:] = np.concatenate([np.zeros(3), np.eye(3).reshape(9)])
@@ -138,6 +142,9 @@ class DatasetProblem:
         self._stiffness_all = np.asarray(
             factors.inv_sqrt_psd(jnp.asarray(self.obs_covars))
         )
+        print(f"  dataset init (triangulate + whiten, eager): "
+              f"{_time.perf_counter() - _t0:.1f}s", file=sys.stderr,
+              flush=True)
         # static pad size for RANSAC match arrays
         max_matches = 1
         for k in range(1, K):
@@ -192,6 +199,10 @@ class DatasetProblem:
         or a sibling dataset that had the cache copied in) is a no-op."""
         if getattr(self, "_pair_T", None) is not None:
             return
+        import sys
+        import time as _time
+
+        _t0 = _time.perf_counter()
         K = self.num_states
         P = self._match_pad
         pts0 = np.zeros((K, P, 3))
@@ -218,6 +229,7 @@ class DatasetProblem:
         self._pair_T = np.zeros((K, 12))
         self._pair_inliers = np.zeros((K, P), bool)
         self._pair_num_inliers = np.zeros(K, np.int64)
+        _t1 = _time.perf_counter()
         for s in range(1, K, chunk):
             e = min(s + chunk, K)
             n = e - s
@@ -238,6 +250,10 @@ class DatasetProblem:
             self._pair_T[s:e] = np.asarray(res.T_1_0)[:n]
             self._pair_inliers[s:e] = np.asarray(res.inliers)[:n]
             self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)[:n]
+        print(f"  pair alignments: match-gather {_t1 - _t0:.1f}s, "
+              f"ransac {_time.perf_counter() - _t1:.1f}s "
+              f"({(K - 1 + chunk - 1) // chunk} chunks)",
+              file=sys.stderr, flush=True)
 
     def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
         if k1 >= k2:
