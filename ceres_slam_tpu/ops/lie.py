@@ -216,8 +216,12 @@ def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 10):
     dtype = A.dtype
     batch = A.shape[:-2]
     eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), batch + (4, 4))
-    V = eye
-    for _ in range(sweeps):
+
+    def sweep(_, carry):
+        # one cyclic sweep; rolled into a fori_loop so the emitted
+        # program stays small (the unrolled form compiled to a 33 MB TPU
+        # executable whose per-process relay upload cost ~30 s)
+        A, V = carry
         for p, q in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
             apq = A[..., p, q]
             theta = 0.5 * jnp.arctan2(2.0 * apq,
@@ -227,6 +231,9 @@ def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 10):
             G = G.at[..., p, q].set(-s).at[..., q, p].set(s)
             A = jnp.swapaxes(G, -1, -2) @ A @ G
             V = V @ G
+        return A, V
+
+    A, V = jax.lax.fori_loop(0, sweeps, sweep, (A, eye))
     return jnp.diagonal(A, axis1=-2, axis2=-1), V
 
 
