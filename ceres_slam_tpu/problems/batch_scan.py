@@ -46,12 +46,16 @@ class BatchResult(NamedTuple):
     ok: np.ndarray  # [W] bool
 
 
-def _host_statics(ds, window: int):
+def _host_statics(ds, window: int, progress: bool = False):
     """Host-resident PassStatics (no accelerator upload; cached on ds)."""
+    import time as _time
+
     cached = getattr(ds, "_scan_statics_host", None)
     if cached is not None and cached[0] == window:
         return cached[1]
+    _t0 = _time.perf_counter()
     ds.precompute_pair_alignments()
+    _t1 = _time.perf_counter()
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         ctx = jax.default_device(cpu)
@@ -60,6 +64,9 @@ def _host_statics(ds, window: int):
     with ctx:
         out = scan_pipeline._precompute_pass_host(ds, window)
     ds._scan_statics_host = (window, out)
+    if progress:
+        print(f"    statics: ransac {_t1 - _t0:.1f}s, "
+              f"host build {_time.perf_counter() - _t1:.1f}s", flush=True)
     return out
 
 
@@ -84,12 +91,18 @@ def solve_batch(
     padded to the batch maxima (inactive no-op windows pad shorter
     sequences), so heterogeneous sequences share one compiled program.
     """
+    import time as _time
+
     config = config or dense.SolveConfig(max_iters=100)
     dts = {r.ds.dtype for r in runs}
     assert len(dts) == 1, f"runs must share a dtype, got {dts}"
     dt = runs[0].ds._dt
 
-    pre = [_host_statics(r.ds, window) for r in runs]
+    _t0 = _time.perf_counter()
+    pre = [_host_statics(r.ds, window, progress) for r in runs]
+    if progress:
+        print(f"  batch precompute: {_time.perf_counter() - _t0:.1f}s "
+              f"({len(runs)} runs)", flush=True)
     Ws = [int(p[0].k1.shape[0]) for p in pre]
     Ks = [r.ds.num_states for r in runs]
     W_max, K_max = max(Ws), max(Ks)
@@ -133,12 +146,18 @@ def solve_batch(
 
     chain_dtype = np.float64 if jax.config.jax_enable_x64 else dt
     cov_dtype = np.float64 if jax.config.jax_enable_x64 else dt
+    _t1 = _time.perf_counter()
     batch = scan_pipeline.PassStatics(
         **{name: jnp.asarray(np.stack(vals)) for name, vals in
            stacked.items()})
+    jax.block_until_ready(batch)  # (no-op under the relay; harmless)
+    nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(batch))
     if progress:
         print(f"  batch scan: {len(runs)} runs x {W_max} windows, "
-              f"O={O_max}, M_pad={Mp_max}", flush=True)
+              f"O={O_max}, M_pad={Mp_max} "
+              f"(stack+upload {nbytes / 1e6:.0f} MB, "
+              f"{_time.perf_counter() - _t1:.1f}s)", flush=True)
+    _t2 = _time.perf_counter()
     fused = False
     interpret = jax.devices()[0].platform != "tpu"
     poses_full, summaries, cov_full = scan_pipeline._run_scan_batch(
@@ -156,6 +175,9 @@ def solve_batch(
     poses_np = np.asarray(poses_full, np.float64)
     cov_np = np.asarray(cov_full, np.float64)
     summaries_np = jax.tree_util.tree_map(np.asarray, summaries)
+    if progress:
+        print(f"  batch solve (compile+run+fetch): "
+              f"{_time.perf_counter() - _t2:.1f}s", flush=True)
 
     results = []
     for i, (r, W, K) in enumerate(zip(runs, Ws, Ks)):
