@@ -75,6 +75,48 @@ def main(argv=None):
     def ckpt(tag):
         return f"{args.checkpoint}.{tag}" if args.checkpoint else None
 
+    # Both passes are INDEPENDENT problems (each recomputes every pose
+    # from the RANSAC chain off pose 0 and restarts the covariance chain
+    # at the 1e-12 prior; pass 2 reads nothing pass 1 wrote) — so by
+    # default they run CONCURRENTLY as one 2-run batched scan
+    # (problems/batch_scan): one compile, one upload, ~half the device
+    # time. Outputs are written in the reference's order and are
+    # identical to the sequential path (tests/test_scan_pipeline.py
+    # batch tests). Checkpointing or --sun-only falls back to the
+    # sequential passes.
+    if not args.sun_only and not args.checkpoint:
+        from ceres_slam_tpu.problems import batch_scan, scan_pipeline
+        from ceres_slam_tpu.utils import csvio
+
+        runs = [
+            batch_scan.RunSpec(dataset, use_sun=False),
+            batch_scan.RunSpec(dataset, use_sun=True,
+                               huber_param=args.huber_param,
+                               az_err_thresh=az_thresh,
+                               zen_err_thresh=zen_thresh),
+        ]
+        print("Computing VO without / with sun measurements (fused "
+              "2-pass batch)", file=sys.stderr)
+        try:
+            results = batch_scan.solve_batch(
+                runs, window=args.window, config=config,
+                strategy=args.strategy, progress=True)
+        except scan_pipeline.ScanReplicationError as e:
+            print(f"  batch precompute diverged ({e}); sequential passes",
+                  file=sys.stderr)
+            results = None
+        if results is not None:
+            track_base = args.track_file.rsplit(".", 1)[0]
+            csvio.write_poses_csv(track_base + "_poses.csv",
+                                  results[0].poses)
+            print_reports(results[0].summaries, args.report)
+            print_reports(results[1].summaries, args.report)
+            obs_base = args.obs_sun_file.rsplit(".", 1)[0]
+            sun_method = obs_base.split("_")[-1]
+            csvio.write_poses_csv(f"{track_base}_{sun_method}_poses.csv",
+                                  results[1].poses)
+            return
+
     if not args.sun_only:
         print("Computing VO without sun measurements", file=sys.stderr)
         summaries = dataset.solve_sliding_window(
