@@ -23,6 +23,15 @@ def setup_jax(platform: str | None = None, x64: bool = True):
         # env, so we must push it through jax.config.
         platform = os.environ.get("JAX_PLATFORMS") or None
     if platform:
+        # ALWAYS keep the host CPU backend registered alongside the
+        # accelerator: the scan-statics precompute pins its per-window
+        # array work to the CPU backend (problems/scan_pipeline.py), and
+        # without it that path silently degrades to one ~25 ms relay
+        # round trip per op — measured 118 s/dataset vs 1.4 s (r4; the
+        # sandbox exports JAX_PLATFORMS=axon, which used to strip "cpu").
+        # The first entry stays the default (primary) backend.
+        if "cpu" not in platform.split(","):
+            platform = platform + ",cpu"
         jax.config.update("jax_platforms", platform)
     if x64:
         jax.config.update("jax_enable_x64", True)

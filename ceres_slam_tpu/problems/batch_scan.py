@@ -60,6 +60,12 @@ def _host_statics(ds, window: int, progress: bool = False):
         cpu = jax.local_devices(backend="cpu")[0]
         ctx = jax.default_device(cpu)
     except Exception:
+        import sys
+
+        print("  WARNING: no CPU backend registered — statics precompute "
+              "runs on the accelerator (~25 ms relay latency PER OP; "
+              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
+              file=sys.stderr, flush=True)
         ctx = contextlib.nullcontext()
     with ctx:
         out = scan_pipeline._precompute_pass_host(ds, window)

@@ -113,6 +113,12 @@ def precompute_pass(ds, window: int):
         cpu = jax.local_devices(backend="cpu")[0]
         ctx = jax.default_device(cpu)
     except Exception:  # no CPU backend registered: build on the default
+        import sys
+
+        print("  WARNING: no CPU backend registered — statics precompute "
+              "runs on the accelerator (~25 ms relay latency PER OP; "
+              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
+              file=sys.stderr, flush=True)
         ctx = contextlib.nullcontext()
     with ctx:
         statics, point_idx, O, M_pad = _precompute_pass_host(ds, window)
@@ -229,7 +235,12 @@ def _inv_sqrt_psd6(C):
 def _scan_core(statics: PassStatics, point_idx, poses0, cov0, camera,
                sun_huber, az_thresh, zen_thresh, covar_floor, use_sun,
                Kw, O, config, strategy, fused, interpret):
-    dt = poses0.dtype
+    # SOLVE dtype comes from the statics (ds._dt), NOT from the carried
+    # pose chain: the chain is deliberately f64 (compounding drift), and
+    # taking its dtype silently promoted every "f32" window solve to f64
+    # (caught r4 when the fused kernel's hard-coded f32 blocks refused to
+    # trace against f64 states)
+    dt = statics.uvd.dtype
     J = statics.point_valid.shape[1]
     cov_dtype = cov0.dtype  # f64 when x64 on (the prior chain needs it)
 

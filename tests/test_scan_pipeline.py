@@ -214,6 +214,36 @@ def test_batch_scan_matches_individual_runs(sim_files, tmp_path_factory):
         np.testing.assert_array_equal(res.ok, ok)
 
 
+def test_scan_fused_kernel_matches_xla(sim_files):
+    """The Pallas factor mega-kernel inside the scan body (interpret mode
+    on CPU) reproduces the XLA-blocks scan. The r3 'Mosaic fails to
+    lower inside lax.scan' report was actually a dtype bug: the scan took
+    its solve dtype from the f64 pose-chain carry, so the kernel's f32
+    blocks could never trace (fixed r4)."""
+    import jax.numpy as jnp
+
+    from ceres_slam_tpu.solver import dense as dense_mod
+
+    cfg = dense_mod.SolveConfig(max_iters=60, nonmonotonic=True)
+    ds_x = _load(sim_files)
+    ds_x.dtype = "float32"
+    summaries, ok = scan_pipeline.solve_sliding_window_scan(
+        ds_x, window=2, use_sun=True, config=cfg)
+    ds_f = _load(sim_files)
+    ds_f.dtype = "float32"
+    statics, point_idx, O, M_pad = scan_pipeline.precompute_pass(ds_f, 2)
+    poses, summ, cov = scan_pipeline._run_scan(
+        statics, point_idx,
+        jnp.asarray(ds_f.poses, jnp.float64),
+        jnp.asarray(ds_f.pose_covars, jnp.float64),
+        ds_f.camera.astype(jnp.float32),
+        jnp.asarray(0.0, jnp.float32), jnp.asarray(1000.0, jnp.float32),
+        jnp.asarray(1000.0, jnp.float32), jnp.asarray(1e-12, jnp.float64),
+        jnp.asarray(True), 2, O, cfg, "dogleg", True, True)
+    err = np.abs(np.asarray(poses) - ds_x.poses)
+    assert err.max() < 1e-3, err.max()  # f32 kernel vs f32 XLA blocks
+
+
 def test_scan_replication_divergence_falls_back(sim_files, monkeypatch):
     """A replication discrepancy in the scan precompute must degrade to
     the host loop, not kill the pass (VERDICT r3; reference posture
