@@ -412,10 +412,15 @@ def solve_sliding_window_scan(
         print(f"  scan pass: {W} windows, O={O}, M_pad={M_pad} "
               f"(precompute {_time.perf_counter() - _t0:.1f}s)", flush=True)
     # fused=False: the Pallas mega-kernel exists to cut per-dispatch
-    # latency, which the scan already eliminates — and Mosaic currently
-    # fails to lower it inside a lax.scan body ("failed to legalize
-    # func.return"). The pure-XLA window step costs ~the same per window
-    # here.
+    # latency, which the scan already eliminates. Status (r4, measured):
+    # the kernel TRACES and runs inside the scan in interpret mode
+    # (tests/test_scan_pipeline.py::test_scan_fused_kernel_matches_xla —
+    # the r3 "Mosaic fails to lower" was partly a dtype bug, since fixed)
+    # but the REAL TPU compile of scan-of-pallas_call still fails in the
+    # remote compile helper (out/r4/fused_scan_tpu.log). The pure-XLA
+    # window step needs no rescue here: 199 windows solve in 3.0 s on
+    # chip (15 ms/window, full dogleg + covariance), so the kernel stays
+    # a host-per-window-path optimization.
     fused = False
     interpret = jax.devices()[0].platform != "tpu"
     cov_dtype = (jnp.float64 if jax.config.jax_enable_x64

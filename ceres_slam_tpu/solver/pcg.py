@@ -519,12 +519,10 @@ def solve_ba_pcg(
     ``precond``: 'jacobi' = exact block-Jacobi; 'banded' = block-cyclic-
     reduction factorization of the banded part of S (the SuiteSparse-role
     solver — see `solver/banded.py`); 'auto' = banded when >= 50% of
-    landmarks form contiguous bounded tracks AND it wins on the backend:
-    everywhere on CPU (CG matvecs dominate there; 1.7-2.4x measured), but
-    only for long trajectories (K >= 512) on TPU, where the per-level
-    small-op chain of the cyclic-reduction solve costs more than the
-    saved CG iterations below that (measured crossover, BASELINE.md
-    scale sweep)."""
+    landmarks form contiguous bounded tracks — it wins at every measured
+    scale on both backends under the full-f32 matmul policy (r4 sweep,
+    BASELINE.md: collapsing CG to 1-16 iterations saves more than the
+    log-depth factorization costs)."""
     K = state0.poses.shape[0]
     J = state0.points.shape[0]
     if tables is None and jax.devices()[0].platform == "tpu":
@@ -540,8 +538,11 @@ def solve_ba_pcg(
             problem.stereo.pose_idx, problem.stereo.point_idx, K, J,
             valid=problem.stereo.valid
             & problem.point_valid[problem.stereo.point_idx])
-        wins = K >= 512 or jax.devices()[0].platform != "tpu"
-        if precond == "banded" or (tracks.eligible_frac >= 0.5 and wins):
+        # banded wins at every scale on both backends under the full-f32
+        # matmul policy (r4 sweep: S 285 vs 152, XL 78 vs 53, XXL 6.8 vs
+        # 5.7 it/s on TPU — fewer CG iterations means fewer
+        # precision-taxed matvecs; CPU won with it since r3)
+        if precond == "banded" or tracks.eligible_frac >= 0.5:
             track_L = (tracks.L, tracks.n_super)
             track_arrays = tuple(tracks[2:])
     return _solve_ba_pcg_jit(problem, state0, config, max_cg_iters, cg_tol,
