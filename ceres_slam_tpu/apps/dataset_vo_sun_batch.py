@@ -94,6 +94,10 @@ def main(argv=None):
             obs = next((t[2] for t in triples
                         if t[0] == track and t[2]), None)
             if obs is None:
+                print(f"WARNING: skipping VO-only run for {track}: no "
+                      f"sun-obs file found for it (the CSV reader needs "
+                      f"one; <name>_poses.csv will NOT be written)",
+                      file=sys.stderr)
                 continue
         ds = load(track, ref, obs)
         if mode == "vo":

@@ -249,6 +249,8 @@ def solve_ba_pcg_sharded(
     ``precond``: 'jacobi' (exact block-Jacobi diagonal of S) or 'banded'
     (distributed block-cyclic-reduction over the banded part of S — the
     structure-exploiting solve for contiguous bounded tracks)."""
+    import numpy as np
+
     tracks = slot_idx = None
     if precond == "banded":
         from ceres_slam_tpu.solver import banded
@@ -258,10 +260,20 @@ def solve_ba_pcg_sharded(
             st.pose_idx, st.point_idx, state0.poses.shape[0],
             state0.points.shape[0],
             valid=st.valid & problem.point_valid[st.point_idx])
-        slot_idx = jnp.asarray(banded.slot_scatter_index(
-            tracks, int(st.pose_idx.shape[0])))
+        # pad to the SAME multiple-of-mesh-size length shard_problem pads
+        # the observation arrays to; pad rows route to the dump segment
+        # (slot indices reference pre-pad positions, which padding at the
+        # tail leaves unchanged)
+        N = int(st.pose_idx.shape[0])
+        n_dev = mesh.devices.size
+        N_pad = ((N + n_dev - 1) // n_dev) * n_dev
+        idx_np = banded.slot_scatter_index(tracks, N)
+        dump = tracks.slot_w.shape[0] * tracks.L
+        idx_np = np.concatenate(
+            [idx_np, np.full(N_pad - N, dump, np.int32)])
         axes = _axes(mesh)
-        slot_idx = jax.device_put(slot_idx, NamedSharding(mesh, P(axes)))
+        slot_idx = jax.device_put(jnp.asarray(idx_np),
+                                  NamedSharding(mesh, P(axes)))
     elif precond != "jacobi":
         raise ValueError(f"unknown preconditioner: {precond!r}")
     problem = shard_problem(problem, mesh)

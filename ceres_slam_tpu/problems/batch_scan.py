@@ -18,7 +18,6 @@ RANSAC/statics precompute).
 
 from __future__ import annotations
 
-import contextlib
 from typing import NamedTuple
 
 import jax
@@ -46,34 +45,7 @@ class BatchResult(NamedTuple):
     ok: np.ndarray  # [W] bool
 
 
-def _host_statics(ds, window: int, progress: bool = False):
-    """Host-resident PassStatics (no accelerator upload; cached on ds)."""
-    import time as _time
-
-    cached = getattr(ds, "_scan_statics_host", None)
-    if cached is not None and cached[0] == window:
-        return cached[1]
-    _t0 = _time.perf_counter()
-    ds.precompute_pair_alignments()
-    _t1 = _time.perf_counter()
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-        ctx = jax.default_device(cpu)
-    except Exception:
-        import sys
-
-        print("  WARNING: no CPU backend registered — statics precompute "
-              "runs on the accelerator (~25 ms relay latency PER OP; "
-              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
-              file=sys.stderr, flush=True)
-        ctx = contextlib.nullcontext()
-    with ctx:
-        out = scan_pipeline._precompute_pass_host(ds, window)
-    ds._scan_statics_host = (window, out)
-    if progress:
-        print(f"    statics: ransac {_t1 - _t0:.1f}s, "
-              f"host build {_time.perf_counter() - _t1:.1f}s", flush=True)
-    return out
+_host_statics = scan_pipeline.host_statics_cached  # shared cache + restore
 
 
 def _pad_to(arr: np.ndarray, shape) -> np.ndarray:
@@ -102,6 +74,8 @@ def solve_batch(
     config = config or dense.SolveConfig(max_iters=100)
     dts = {r.ds.dtype for r in runs}
     assert len(dts) == 1, f"runs must share a dtype, got {dts}"
+    floors = {float(r.ds._covar_floor) for r in runs}
+    assert len(floors) == 1, f"runs must share _covar_floor, got {floors}"
     dt = runs[0].ds._dt
 
     _t0 = _time.perf_counter()

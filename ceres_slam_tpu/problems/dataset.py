@@ -142,9 +142,10 @@ class DatasetProblem:
         self._stiffness_all = np.asarray(
             factors.inv_sqrt_psd(jnp.asarray(self.obs_covars))
         )
-        print(f"  dataset init (triangulate + whiten, eager): "
-              f"{_time.perf_counter() - _t0:.1f}s", file=sys.stderr,
-              flush=True)
+        if os.environ.get("CSTPU_TIMING"):
+            print(f"  dataset init (triangulate + whiten, eager): "
+                  f"{_time.perf_counter() - _t0:.1f}s", file=sys.stderr,
+                  flush=True)
         # static pad size for RANSAC match arrays
         max_matches = 1
         for k in range(1, K):
@@ -250,10 +251,11 @@ class DatasetProblem:
             self._pair_T[s:e] = np.asarray(res.T_1_0)[:n]
             self._pair_inliers[s:e] = np.asarray(res.inliers)[:n]
             self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)[:n]
-        print(f"  pair alignments: match-gather {_t1 - _t0:.1f}s, "
-              f"ransac {_time.perf_counter() - _t1:.1f}s "
-              f"({(K - 1 + chunk - 1) // chunk} chunks)",
-              file=sys.stderr, flush=True)
+        if os.environ.get("CSTPU_TIMING"):
+            print(f"  pair alignments: match-gather {_t1 - _t0:.1f}s, "
+                  f"ransac {_time.perf_counter() - _t1:.1f}s "
+                  f"({(K - 1 + chunk - 1) // chunk} chunks)",
+                  file=sys.stderr, flush=True)
 
     def compute_initial_guess(self, k1: int = 0, k2: int = 0) -> bool:
         if k1 >= k2:

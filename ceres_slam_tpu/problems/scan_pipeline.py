@@ -91,8 +91,56 @@ class PassStatics(NamedTuple):
     active: jnp.ndarray  # [W] bool
 
 
-def precompute_pass(ds, window: int):
-    """Build PassStatics for a pass (host; one-time, cached on ``ds``).
+def _host_cpu_ctx():
+    """Context manager pinning eager array work to the host CPU backend
+    (warns loudly when none is registered — that silently degrades the
+    statics build to ~25 ms relay latency PER OP, measured r4)."""
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        return jax.default_device(cpu)
+    except Exception:
+        import sys
+
+        print("  WARNING: no CPU backend registered — statics precompute "
+              "runs on the accelerator (~25 ms relay latency PER OP; "
+              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
+              file=sys.stderr, flush=True)
+        return contextlib.nullcontext()
+
+
+def host_statics_cached(ds, window: int, progress: bool = False):
+    """Host-resident PassStatics, cached on ``ds`` (one cache shared by
+    the single-run and batched paths). Restores the dataset's pose/
+    landmark state afterwards: the replication sweep dead-reckons the
+    whole chain through ``ds.poses``, and callers must not observe that.
+    """
+    import sys
+    import time as _time
+
+    cached = getattr(ds, "_scan_statics_host", None)
+    if cached is not None and cached[0] == window:
+        return cached[1]
+    _t0 = _time.perf_counter()
+    ds.precompute_pair_alignments()
+    _t1 = _time.perf_counter()
+    poses_snap = ds.poses.copy()
+    inited_snap = ds.initialized_point.copy()
+    with _host_cpu_ctx():
+        out = _precompute_pass_host(ds, window)
+    ds.poses[:] = poses_snap
+    ds.initialized_point[:] = inited_snap
+    ds._scan_statics_host = (window, out)
+    if progress:
+        print(f"    statics: ransac {_t1 - _t0:.1f}s, "
+              f"host build {_time.perf_counter() - _t1:.1f}s",
+              file=sys.stderr, flush=True)
+    return out
+
+
+def precompute_pass(ds, window: int, progress: bool = False):
+    """Device-resident PassStatics for a pass (cached on ``ds``).
 
     Statics include the sun observations — whether a pass USES them is a
     runtime flag in the scan, so the VO-only and VO+sun passes share both
@@ -100,28 +148,14 @@ def precompute_pass(ds, window: int):
 
     The per-window builders create jax arrays; on a TPU backend every one
     would be a separate relay upload (~23/window: measured 235 s for a
-    200-state pass). Pin them to the host CPU backend — only the final
-    stacked statics move to the accelerator, once.
+    200-state pass). They are pinned to the host CPU backend
+    (`host_statics_cached`) — only the final stacked statics move to the
+    accelerator, once.
     """
     cached = getattr(ds, "_scan_statics", None)
     if cached is not None and cached[0] == window:
         return cached[1]
-    ds.precompute_pair_alignments()
-    try:
-        import contextlib
-
-        cpu = jax.local_devices(backend="cpu")[0]
-        ctx = jax.default_device(cpu)
-    except Exception:  # no CPU backend registered: build on the default
-        import sys
-
-        print("  WARNING: no CPU backend registered — statics precompute "
-              "runs on the accelerator (~25 ms relay latency PER OP; "
-              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
-              file=sys.stderr, flush=True)
-        ctx = contextlib.nullcontext()
-    with ctx:
-        statics, point_idx, O, M_pad = _precompute_pass_host(ds, window)
+    statics, point_idx, O, M_pad = host_statics_cached(ds, window, progress)
     # one bulk transfer to the accelerator; cached so the second pass
     # reuses the resident copies
     out = (jax.device_put(statics), jax.device_put(point_idx), O, M_pad)

@@ -100,6 +100,30 @@ class TestShardedBandedPCG:
                            float(sum_ref.final_cost), rtol=1e-6)
         assert np.allclose(sol.poses, sol_ref.poses, atol=1e-6)
 
+    def test_sharded_banded_obs_not_divisible_by_mesh(self, mesh):
+        """slot_idx must be padded to the same multiple-of-mesh-size
+        length shard_problem pads the observations to (regression: 132
+        obs on an 8-device mesh crashed at device_put)."""
+        import __graft_entry__ as ge
+        from ceres_slam_tpu.parallel import sharded_pcg
+        from ceres_slam_tpu.solver import pcg
+
+        problem, state0 = ge._build_example(K=8, J=66, n_obs=132,
+                                            dtype=jnp.float64, seed=5)
+        rng = np.random.default_rng(9)
+        dx = np.concatenate([rng.normal(0, 0.01, 6 * 8),
+                             rng.normal(0, 0.05, 3 * 66)])
+        init = dense._retract_state(problem, state0, jnp.asarray(dx))
+        cfg = dense.SolveConfig(max_iters=15)
+        sol_ref, sum_ref = pcg.solve_ba_pcg(problem, init, cfg,
+                                            precond="banded")
+        sol, summary = sharded_pcg.solve_ba_pcg_sharded(
+            problem, init, mesh, cfg, max_cg_iters=200, cg_tol=1e-10,
+            precond="banded")
+        assert np.allclose(float(summary.final_cost),
+                           float(sum_ref.final_cost), rtol=1e-6)
+        assert np.allclose(sol.poses, sol_ref.poses, atol=1e-6)
+
     def test_sharded_banded_with_masked_padding(self, mesh):
         """Padding obs (valid=False) must not corrupt the distributed
         structure analysis (slot_scatter_index routes them nowhere)."""
