@@ -74,7 +74,13 @@ def phong_shade(normal, light_dir, camera_dir, phong_params, texture, light_colo
     reference (phong.hpp:32-33) — reproduced here. Output clamped to
     [0, 1] (phong.hpp:136-139). All args broadcast over leading dims.
     """
-    ambient = jnp.zeros(jnp.broadcast_shapes(normal.shape[:-1], texture.shape))
+    # dtype pinned: a bare jnp.zeros defaults to f64 under x64 and would
+    # silently promote the whole shade chain (r4: the f64 intensity
+    # residual leaked into every Phong gradient; the segment-sum assembly
+    # masked it by scatter-downcasting, the slotted path exposed it)
+    ambient = jnp.zeros(
+        jnp.broadcast_shapes(normal.shape[:-1], texture.shape),
+        dtype=normal.dtype)
     diffuse = shade_diffuse(normal, light_dir, texture)
     specular = shade_specular(
         normal, light_dir, camera_dir, phong_params[..., 1], phong_params[..., 2]

@@ -264,19 +264,21 @@ def solve_phong_ba(
     directional: bool = False,
     freeze_geometry: bool = False,
     linear_solver: str = "dense",
+    layout=None,
 ):
     """One LM solve of the Phong BA problem at the given stage flags.
 
     ``linear_solver``: 'dense' (full [D, D] Cholesky — fine at window
     scale) or 'schur' (vertex-block elimination, `solver/phong_schur.py`
     — the SPARSE_NORMAL_CHOLESKY role for full-batch problems,
-    dataset_ba_phong.cpp:87)."""
+    dataset_ba_phong.cpp:87; pass ``layout`` from
+    `phong_schur.build_phong_layout` for the scatter-free assembly)."""
     cost_fn = lambda s: phong_cost(problem, s, use_light, directional)
     if linear_solver == "schur":
         from ceres_slam_tpu.solver import phong_schur
 
         step = phong_schur.phong_schur_step(
-            problem, use_light, directional, freeze_geometry
+            problem, use_light, directional, freeze_geometry, layout=layout
         )
     else:
         normal_eq = lambda s: phong_normal_equations(
@@ -314,23 +316,29 @@ def solve_phong_staged(
     frozen), then the joint solve."""
     if linear_solver == "auto":
         linear_solver = auto_linear_solver(state)
+    layout = None
+    if linear_solver == "schur":
+        from ceres_slam_tpu.solver import phong_schur
+
+        layout = phong_schur.build_phong_layout(
+            problem, state.points.shape[0])
     summaries = []
     if multistage:
         state, s1 = solve_phong_ba(
             problem, state, config, use_light=False, directional=directional,
-            linear_solver=linear_solver,
+            linear_solver=linear_solver, layout=layout,
         )
         summaries.append(s1)
         if use_light:
             state, s2 = solve_phong_ba(
                 problem, state, config,
                 use_light=True, directional=directional, freeze_geometry=True,
-                linear_solver=linear_solver,
+                linear_solver=linear_solver, layout=layout,
             )
             summaries.append(s2)
     state, s3 = solve_phong_ba(
         problem, state, config, use_light=use_light, directional=directional,
-        linear_solver=linear_solver,
+        linear_solver=linear_solver, layout=layout,
     )
     summaries.append(s3)
     return state, summaries

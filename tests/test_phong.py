@@ -327,3 +327,63 @@ class TestPhongSchur:
         assert all(np.isfinite(float(s.final_cost)) for s in summaries)
         ate = metrics.ate_translation(prob.poses, ds.poses_gt)
         assert ate < 0.05, f"full-batch schur Phong BA ATE {ate}"
+
+
+class TestSlottedAssembly:
+    """Scatter-free (slotted) Phong Schur assembly == the segment-sum
+    path, on every block (r4: the segment path's O(J*K) pair scatters
+    were 100% of the chip iteration time, out/r4/phong_prof.log)."""
+
+    @pytest.mark.parametrize("use_light,directional", [
+        (True, False), (True, True), (False, False)])
+    def test_blocks_match(self, use_light, directional):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(jax.random.PRNGKey(21), noise=0.3,
+                                         directional=directional)
+        state = perturb(gt, jax.random.PRNGKey(22), directional)
+        layout = phong_schur.build_phong_layout(
+            problem, state.points.shape[0])
+        a = phong_schur._segment_blocks(problem, state, use_light,
+                                        directional, False)
+        b = phong_schur._slotted_blocks(problem, state, use_light,
+                                        directional, False, layout)
+        for name, x, y in zip(("Hv", "gv", "W", "Hr", "gr"), a, b):
+            scale = max(1.0, float(jnp.max(jnp.abs(x))))
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-9, atol=1e-12 * scale,
+                                       err_msg=name)
+
+    def test_blocks_match_masked_vertices(self):
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(jax.random.PRNGKey(23), noise=0.2)
+        vv = problem.vertex_valid.at[-5:].set(False)
+        problem = problem._replace(vertex_valid=vv)
+        state = perturb(gt, jax.random.PRNGKey(24), False)
+        layout = phong_schur.build_phong_layout(
+            problem, state.points.shape[0])
+        a = phong_schur._segment_blocks(problem, state, True, False, True)
+        b = phong_schur._slotted_blocks(problem, state, True, False, True,
+                                        layout)
+        for name, x, y in zip(("Hv", "gv", "W", "Hr", "gr"), a, b):
+            scale = max(1.0, float(jnp.max(jnp.abs(x))))
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-9, atol=1e-12 * scale,
+                                       err_msg=name)
+
+    def test_solve_via_layout_matches(self):
+        from ceres_slam_tpu.solver import lm as lm_mod
+        from ceres_slam_tpu.solver import phong_schur
+
+        problem, gt = make_phong_problem(jax.random.PRNGKey(25), noise=0.3)
+        init = perturb(gt, jax.random.PRNGKey(26), False)
+        cfg = lm_mod.SolveConfig(max_iters=25)
+        s_seg, sum_seg = phong_schur.solve_phong_ba_schur(
+            problem, init, cfg, True, False, False)
+        s_slot, sum_slot = phong_schur.solve_phong_ba_schur_jit(
+            problem, init, cfg, True, False, False)
+        np.testing.assert_allclose(float(sum_slot.final_cost),
+                                   float(sum_seg.final_cost), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(s_slot.poses),
+                                   np.asarray(s_seg.poses), atol=1e-8)
