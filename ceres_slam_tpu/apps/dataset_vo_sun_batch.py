@@ -122,22 +122,66 @@ def main(argv=None):
             other._pair_inliers = group[0]._pair_inliers
             other._pair_num_inliers = group[0]._pair_num_inliers
 
-    print(f"Batch: {len(runs)} runs ({len(datasets)} datasets), "
-          f"window {args.window}", file=sys.stderr)
+    # Degrade, don't die (reference posture, dataset_problem_sun.cpp:
+    # 324-327): a dataset whose scan precompute diverges must not kill
+    # the whole grid. Validate each dataset's statics up front (cached —
+    # solve_batch reuses them), pull divergent runs out of the batch, and
+    # solve those sequentially through solve_sliding_window, which
+    # degrades to the host per-window loop internally.
+    from ceres_slam_tpu.problems import scan_pipeline
+
+    batch_runs, batch_outs, fallback = [], [], []
+    for run, out in zip(runs, outs):
+        try:
+            scan_pipeline.host_statics_cached(run.ds, args.window)
+        except scan_pipeline.ScanReplicationError as e:
+            print(f"  scan precompute diverged for {out} ({e}); "
+                  f"running it sequentially after the batch",
+                  file=sys.stderr)
+            fallback.append((run, out))
+            continue
+        batch_runs.append(run)
+        batch_outs.append(out)
+
+    print(f"Batch: {len(batch_runs)} runs ({len(datasets)} datasets), "
+          f"window {args.window}"
+          + (f" (+{len(fallback)} sequential fallbacks)" if fallback else ""),
+          file=sys.stderr)
     cfg = SolveConfig(max_iters=args.max_iters, nonmonotonic=True)
     t0 = time.time()
-    results = batch_scan.solve_batch(
-        runs, window=args.window, config=cfg, strategy=args.strategy,
-        progress=True)
-    wall = time.time() - t0
-    n_windows = sum(len(r.ok) for r in results)
-    print(f"Batch solved: {wall:.1f}s wall, {n_windows} windows total "
-          f"({n_windows / wall:.1f} windows/s aggregate)", file=sys.stderr)
+    if batch_runs:
+        results = batch_scan.solve_batch(
+            batch_runs, window=args.window, config=cfg,
+            strategy=args.strategy, progress=True)
+        wall = time.time() - t0
+        n_windows = sum(len(r.ok) for r in results)
+        print(f"Batch solved: {wall:.1f}s wall, {n_windows} windows total "
+              f"({n_windows / wall:.1f} windows/s aggregate)",
+              file=sys.stderr)
+        for (res, out) in zip(results, batch_outs):
+            base = out.rsplit(".", 1)[0]
+            csvio.write_poses_csv(base + "_poses.csv", res.poses)
+            print(f"wrote {base}_poses.csv", file=sys.stderr)
 
-    for (res, out) in zip(results, outs):
-        base = out.rsplit(".", 1)[0]
-        csvio.write_poses_csv(base + "_poses.csv", res.poses)
-        print(f"wrote {base}_poses.csv", file=sys.stderr)
+    for run, out in fallback:
+        ds = run.ds
+        snap = (ds.poses.copy(), ds.pose_covars.copy(),
+                ds.initialized_point.copy(), ds.map_points.copy())
+        try:
+            ds.solve_sliding_window(
+                window=args.window, use_sun=run.use_sun,
+                huber_param=run.huber_param,
+                az_err_thresh=run.az_err_thresh,
+                zen_err_thresh=run.zen_err_thresh,
+                config=cfg, strategy=args.strategy, progress=True)
+            base = out.rsplit(".", 1)[0]
+            csvio.write_poses_csv(base + "_poses.csv", ds.poses)
+            print(f"wrote {base}_poses.csv (sequential fallback)",
+                  file=sys.stderr)
+        finally:
+            # runs share dataset objects; leave them as we found them
+            ds.poses[:], ds.pose_covars[:] = snap[0], snap[1]
+            ds.initialized_point[:], ds.map_points[:] = snap[2], snap[3]
 
 
 if __name__ == "__main__":

@@ -241,7 +241,9 @@ def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 5):
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion ``[..., 4] = (w, x, y, z)`` -> rotation matrix."""
     n = jnp.sum(q * q, axis=-1, keepdims=True)
-    q = q / jnp.sqrt(jnp.maximum(n, 1e-300))
+    # dtype-appropriate floor: 1e-300 underflows to 0 in f32, which would
+    # make the zero-quaternion guard a no-op (NaN) in x64-off sessions
+    q = q / jnp.sqrt(jnp.maximum(n, jnp.finfo(q.dtype).tiny))
     w, x, y, z = (q[..., i] for i in range(4))
     return jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),

@@ -619,8 +619,12 @@ class DatasetProblemSun(DatasetProblem):
         self.precompute_pair_alignments()
         summaries = []
         k_start = 0
+        ckpt_meta = {
+            "window": window, "use_sun": bool(use_sun),
+            "dataset": ckpt_mod.dataset_fingerprint(self),
+        }
         if checkpoint:
-            restored = ckpt_mod.load(checkpoint)
+            restored = ckpt_mod.load(checkpoint, meta=ckpt_meta)
             if restored is not None:
                 k_start, arrays = restored
                 self.poses[:] = arrays["poses"]
@@ -668,6 +672,7 @@ class DatasetProblemSun(DatasetProblem):
                     checkpoint,
                     k1 + 1,
                     {"poses": self.poses, "pose_covars": self.pose_covars},
+                    meta=ckpt_meta,
                 )
             if progress and (k1 % 50 == 0):
                 print(f"  window [{k1},{k2}) done")

@@ -127,10 +127,16 @@ def host_statics_cached(ds, window: int, progress: bool = False):
     _t1 = _time.perf_counter()
     poses_snap = ds.poses.copy()
     inited_snap = ds.initialized_point.copy()
-    with _host_cpu_ctx():
-        out = _precompute_pass_host(ds, window)
-    ds.poses[:] = poses_snap
-    ds.initialized_point[:] = inited_snap
+    try:
+        with _host_cpu_ctx():
+            out = _precompute_pass_host(ds, window)
+    finally:
+        # restore on EVERY exit — the replication sweep dead-reckons
+        # through ds.poses, and ScanReplicationError is an expected exit
+        # (callers degrade to the host loop on it, which must start from
+        # the untouched dataset state)
+        ds.poses[:] = poses_snap
+        ds.initialized_point[:] = inited_snap
     ds._scan_statics_host = (window, out)
     if progress:
         print(f"    statics: ransac {_t1 - _t0:.1f}s, "
@@ -462,8 +468,12 @@ def solve_sliding_window_scan(
     chain_dtype = jnp.float64 if jax.config.jax_enable_x64 else dt
 
     k_start = 0
+    ckpt_meta = {
+        "window": window, "use_sun": bool(use_sun),
+        "dataset": ckpt_mod.dataset_fingerprint(ds),
+    }
     if checkpoint:
-        restored = ckpt_mod.load(checkpoint)
+        restored = ckpt_mod.load(checkpoint, meta=ckpt_meta)
         if restored is not None:
             k_start, arrays = restored
             ds.poses[:] = arrays["poses"]
@@ -503,7 +513,8 @@ def solve_sliding_window_scan(
                 lambda x: np.asarray(x)[: c1 - c0], s))
             ckpt_mod.save(checkpoint, c1, {
                 "poses": np.asarray(poses0, np.float64),
-                "pose_covars": np.asarray(cov0, np.float64)})
+                "pose_covars": np.asarray(cov0, np.float64)},
+                meta=ckpt_meta)
             if progress:
                 print(f"  checkpointed at window {c1}/{W}", flush=True)
         poses_full, cov_full = poses0, cov0

@@ -273,6 +273,21 @@ class TestNearestRotation:
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
         assert np.linalg.det(R) > 0.999
 
+    def test_quat_to_rot_zero_quaternion_finite_f32(self):
+        """The normalization floor must not underflow in f32: a zero
+        quaternion in a pure-f32 session must yield a finite matrix, not
+        NaN (advisor r4 finding on the 1e-300 literal)."""
+        q0 = jnp.zeros((2, 4), jnp.float32)
+        R = np.asarray(lie.quat_to_rot(q0))
+        assert R.dtype == np.float32
+        assert np.all(np.isfinite(R))
+        # unit quaternion still normalizes exactly in both dtypes
+        for dt in (np.float32, np.float64):
+            q = jnp.asarray([[0.0, 1.0, 0.0, 0.0]], dt)
+            R = np.asarray(lie.quat_to_rot(q))[0]
+            np.testing.assert_allclose(
+                R, np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+
     def test_so3_normalize_projects_drifted_rotation(self):
         rng = np.random.default_rng(4)
         C = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 1, (8, 3)))))

@@ -144,6 +144,46 @@ class TestCheckpointResume:
         assert step == 7
         assert np.allclose(arrays["poses"], p1.poses)
 
+    def test_checkpoint_meta_mismatch_rejected(self, tmp_path):
+        """A checkpoint written under one run configuration must not be
+        resumable under another (different --window / different dataset
+        with agreeing array shapes) — load() rejects on meta mismatch."""
+        from ceres_slam_tpu.utils import checkpoint as ckpt
+
+        path = str(tmp_path / "ck.npz")
+        meta = {"window": 2, "use_sun": False, "dataset": "K200_deadbeef"}
+        ckpt.save(path, 3, {"poses": np.zeros((4, 12))}, meta=meta)
+        assert ckpt.load(path, meta=meta) is not None
+        assert ckpt.load(path, meta={**meta, "window": 3}) is None
+        assert ckpt.load(path, meta={**meta, "use_sun": True}) is None
+        assert ckpt.load(path, meta={**meta, "dataset": "K200_0000"}) is None
+        # meta-less load ignores stored meta (still readable)
+        assert ckpt.load(path) is not None
+
+    def test_checkpoint_wrong_window_restarts_cleanly(self, sim_files, tmp_path):
+        """End-to-end: a stale checkpoint from a different window size is
+        ignored and the pass restarts from scratch (same result as an
+        uncheckpointed run)."""
+        from ceres_slam_tpu.utils import checkpoint as ckpt
+
+        p1 = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        path = str(tmp_path / "ck.npz")
+        # stale checkpoint claiming window 3, garbage state
+        ckpt.save(path, 10, {
+            "poses": np.random.default_rng(0).normal(size=p1.poses.shape),
+            "pose_covars": p1.pose_covars.copy()},
+            meta={"window": 3, "use_sun": False,
+                  "dataset": ckpt.dataset_fingerprint(p1)})
+        p1.solve_sliding_window(window=2, use_sun=False, checkpoint=path,
+                                checkpoint_every=50)
+        p2 = DatasetProblemSun.read_csv(
+            sim_files["track_sun"], sim_files["ref_sun"], sim_files["obs_sun"]
+        )
+        p2.solve_sliding_window(window=2, use_sun=False)
+        assert np.allclose(p1.poses, p2.poses, atol=1e-9)
+
 
 def test_float32_pipeline(sim_files):
     """f32 mode (fast TPU path): the factor pass runs in f32 while the

@@ -153,8 +153,8 @@ def test_scan_kill_and_resume_cli(sim_files, tmp_path, monkeypatch):
     real_save = ckpt_mod.save
     calls = {"n": 0}
 
-    def dying_save(path, step, arrays):
-        real_save(path, step, arrays)
+    def dying_save(path, step, arrays, **kw):
+        real_save(path, step, arrays, **kw)
         calls["n"] += 1
         if calls["n"] == 2:
             raise KeyboardInterrupt("simulated kill")
