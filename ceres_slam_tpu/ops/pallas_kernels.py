@@ -333,3 +333,90 @@ def window_factor_blocks(
     )(cam, posesT.astype(dtype), onehotT.astype(dtype), p_obs.astype(dtype),
       uvd.astype(dtype), stiffness.astype(dtype), weight.astype(dtype),
       pose_free.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Bilinear image sampling for dense photometric alignment. The XLA gather
+# path (ops/photometric._sample_bilinear) issues 4 scattered gathers per
+# sampled image, which TPU lowers to serial dynamic-slice loops — measured
+# BELOW host-CPU throughput at 68k pixels (BASELINE r4: 82 vs 110 it/s).
+# This kernel keeps the image stack VMEM-resident across grid steps and
+# turns the gather into two MXU one-hot contractions per tile: a row
+# interpolation (Rw [TILE, H] @ img [H, W], where Rw carries the two
+# bilinear row weights per pixel) followed by a lane reduction against the
+# column-weight matrix. All C images (intensity + both gradients) are
+# sampled at the same warped coordinates in one pass.
+# Counterpart of the reference's per-pixel image reads in
+# image_error.hpp:156-164 (which rounds to nearest; bilinear is this
+# framework's default, ops/photometric.py:51).
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_kernel(imgs_ref, u_ref, v_ref, out_ref):
+    C, H, W = imgs_ref.shape
+    dtype = imgs_ref.dtype
+    u = u_ref[0, :]
+    v = v_ref[0, :]
+    # identical index/fraction arithmetic to ops/photometric.
+    # _sample_bilinear (out-of-bounds lanes are clipped here and masked by
+    # the caller, which owns the in-bounds test)
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    fu = u - ui.astype(dtype)
+    fv = v - vi.astype(dtype)
+
+    n = u.shape[0]
+    ids_h = jax.lax.broadcasted_iota(jnp.int32, (n, H), 1)
+    vcol, fvc = vi[:, None], fv[:, None]
+    Rw = (jnp.where(ids_h == vcol, 1.0 - fvc, 0.0)
+          + jnp.where(ids_h == vcol + 1, fvc, 0.0))
+    ids_w = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+    ucol, fuc = ui[:, None], fu[:, None]
+    Cw = (jnp.where(ids_w == ucol, 1.0 - fuc, 0.0)
+          + jnp.where(ids_w == ucol + 1, fuc, 0.0))
+    for c in range(C):
+        # precision=HIGHEST: the TPU f32 matmul default is one bf16 pass,
+        # which would quantize the interpolation weights to 8-bit
+        # mantissas; with exact weights the contraction reproduces the
+        # gather formula to f32 rounding.
+        rows = jnp.dot(Rw, imgs_ref[c], preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        out_ref[c, :] = jnp.sum(rows * Cw, axis=1)
+
+
+def bilinear_sample_imgs(
+    imgs: jnp.ndarray,  # [C, H, W] image stack (shared sample coords)
+    u: jnp.ndarray,  # [N]
+    v: jnp.ndarray,  # [N]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sample C images at N (u, v) points -> [C, N] (f32).
+
+    Out-of-bounds points return the clipped-border interpolation; callers
+    mask them (the in-bounds predicate is pure elementwise XLA work).
+    N is padded to the tile size internally."""
+    C, H, W = imgs.shape
+    N = u.shape[0]
+    dtype = jnp.float32
+    Np = -(-N // TILE) * TILE
+    pad = Np - N
+    u_t = jnp.pad(u.astype(dtype), (0, pad))[None, :]
+    v_t = jnp.pad(v.astype(dtype), (0, pad))[None, :]
+
+    out = pl.pallas_call(
+        _bilinear_kernel,
+        grid=(Np // TILE,),
+        in_specs=[
+            pl.BlockSpec((C, H, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Np), dtype),
+        interpret=interpret,
+    )(imgs.astype(dtype), u_t, v_t)
+    return out[:, :N]

@@ -74,6 +74,25 @@ def _sample_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return jnp.where(inb, vals, 0.0), inb
 
 
+def _sample3_pallas(track_img, grad_u, grad_v, u, v, interpret):
+    """Sample (I, gu, gv) at shared warped coordinates with the VMEM-
+    resident MXU kernel (pallas_kernels.bilinear_sample_imgs) — the TPU
+    path: XLA lowers the 12 scattered gathers of the naive path to serial
+    dynamic-slice loops that run below host-CPU speed (BASELINE r4)."""
+    from ceres_slam_tpu.ops import pallas_kernels
+
+    h, w = track_img.shape
+    imgs = jnp.stack([track_img, grad_u, grad_v]).astype(jnp.float32)
+    out = pallas_kernels.bilinear_sample_imgs(
+        imgs, u.astype(jnp.float32), v.astype(jnp.float32),
+        interpret=interpret)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    inb = (u0 >= 0) & (u0 + 1 <= w - 1) & (v0 >= 0) & (v0 + 1 <= h - 1)
+    vals = jnp.where(inb[None, :], out.astype(track_img.dtype), 0.0)
+    return vals[0], vals[1], vals[2], inb
+
+
 def photometric_residual(
     camera: StereoCamera,
     T: jnp.ndarray,  # [12] track-from-ref pose
@@ -85,6 +104,7 @@ def photometric_residual(
     grad_v: jnp.ndarray,  # [H, W]
     valid: jnp.ndarray,  # [N] bool input validity (e.g. disparity known)
     interp: str = "bilinear",  # "bilinear" (default) or "nn" (reference parity)
+    sampler: str = "gather",  # "gather" | "pallas" | "pallas_interpret"
 ):
     """Batched residual + analytic Jacobians for all pixels.
 
@@ -99,10 +119,15 @@ def photometric_residual(
     proj = camera.project(p_trk)
     Jproj = camera.projection_jacobian(p_trk)  # [N, 3, 3]
 
-    sample = _sample_bilinear if interp == "bilinear" else _sample_nn
-    I_trk, inb = sample(track_img, proj[..., 0], proj[..., 1])
-    gu, _ = sample(grad_u, proj[..., 0], proj[..., 1])
-    gv, _ = sample(grad_v, proj[..., 0], proj[..., 1])
+    if sampler.startswith("pallas") and interp == "bilinear":
+        I_trk, gu, gv, inb = _sample3_pallas(
+            track_img, grad_u, grad_v, proj[..., 0], proj[..., 1],
+            interpret=(sampler == "pallas_interpret"))
+    else:
+        sample = _sample_bilinear if interp == "bilinear" else _sample_nn
+        I_trk, inb = sample(track_img, proj[..., 0], proj[..., 1])
+        gu, _ = sample(grad_u, proj[..., 0], proj[..., 1])
+        gv, _ = sample(grad_v, proj[..., 0], proj[..., 1])
 
     ok = inb & valid
     okf = ok.astype(p_ref.dtype)

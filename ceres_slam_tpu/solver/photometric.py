@@ -46,22 +46,24 @@ class PhotometricState(NamedTuple):
     disparities: jnp.ndarray  # [N]
 
 
-def photometric_cost(problem: PhotometricProblem, state: PhotometricState):
+def photometric_cost(problem: PhotometricProblem, state: PhotometricState,
+                     sampler: str = "gather"):
     r, _, _, _ = photometric.photometric_residual(
         problem.camera, state.T, state.disparities, problem.ref_uv,
         problem.ref_intensity, problem.track_img, problem.grad_u,
-        problem.grad_v, problem.valid,
+        problem.grad_v, problem.valid, sampler=sampler,
     )
     r_d = problem.disp_stiffness * (state.disparities - problem.disp_meas)
     r_d = r_d * problem.valid.astype(r_d.dtype)
     return 0.5 * (jnp.sum(r * r) + jnp.sum(r_d * r_d))
 
 
-def _step(problem: PhotometricProblem, state: PhotometricState, lam):
+def _step(problem: PhotometricProblem, state: PhotometricState, lam,
+          sampler: str = "gather"):
     r, J_pose, J_disp, ok = photometric.photometric_residual(
         problem.camera, state.T, state.disparities, problem.ref_uv,
         problem.ref_intensity, problem.track_img, problem.grad_u,
-        problem.grad_v, problem.valid,
+        problem.grad_v, problem.valid, sampler=sampler,
     )
     Hpp = jnp.einsum("ni,nj->ij", J_pose, J_pose)
     c = J_disp * J_disp  # [N]
@@ -108,12 +110,28 @@ def _retract(state: PhotometricState, dx):
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "sampler"))
+def _solve_photometric_jit(problem, state0, config, sampler):
+    cost_fn = lambda s: photometric_cost(problem, s, sampler=sampler)
+    step_fn = lambda s, lam: _step(problem, s, lam, sampler=sampler)
+    return lm.lm_solve(state0, config, cost_fn, step_fn, _retract)
+
+
+def resolve_sampler(sampler: str = "auto") -> str:
+    """``auto`` picks the image-sampling path per backend: the
+    VMEM-resident MXU kernel on TPU (where XLA's scattered gathers run
+    below host speed), the plain gather elsewhere (CPU gathers are fast
+    and f64-exact)."""
+    if sampler != "auto":
+        return sampler
+    return ("pallas" if jax.devices()[0].platform == "tpu" else "gather")
+
+
 def solve_photometric(
     problem: PhotometricProblem,
     state0: PhotometricState,
     config: lm.SolveConfig = lm.SolveConfig(max_iters=30),
+    sampler: str = "auto",
 ):
-    cost_fn = lambda s: photometric_cost(problem, s)
-    step_fn = lambda s, lam: _step(problem, s, lam)
-    return lm.lm_solve(state0, config, cost_fn, step_fn, _retract)
+    return _solve_photometric_jit(
+        problem, state0, config, resolve_sampler(sampler))
