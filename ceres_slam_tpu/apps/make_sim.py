@@ -18,9 +18,15 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description="generate sim sequences")
     p.add_argument("out_dir")
-    p.add_argument("--kind", default="triangle", choices=["triangle", "square", "penta", "circle"])
+    p.add_argument("--kind", default="triangle",
+                   choices=["triangle", "square", "penta", "circle",
+                            "kitti"],
+                   help="'kitti' generates a KITTI-shaped street drive "
+                        "(sim.generate_kitti: open trajectory, corridor "
+                        "landmarks, tracker-style track structure)")
     p.add_argument("--num-states", type=int, default=200)
-    p.add_argument("--num-points", type=int, default=400)
+    p.add_argument("--num-points", type=int, default=None,
+                   help="default: 400 (polygon sims) or ~16/state (kitti)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sun-noise", type=float, nargs="*", default=[0.0, 10.0, 20.0, 30.0],
                    help="sun observation noise levels in degrees (one obs file per level)")
@@ -32,25 +38,28 @@ def main(argv=None):
     name = f"{args.kind}{args.num_states}"
     base = os.path.join(args.out_dir, name)
 
-    ds = sim.generate(
-        kind=args.kind,
-        num_states=args.num_states,
-        num_points=args.num_points,
-        seed=args.seed,
-        sun_noise_deg=0.0,
-    )
+    if args.num_points is None:
+        args.num_points = (16 * args.num_states if args.kind == "kitti"
+                           else 400)
+
+    def gen(noise):
+        if args.kind == "kitti":
+            return sim.generate_kitti(
+                num_states=args.num_states,
+                num_points=args.num_points,
+                seed=args.seed, sun_noise_deg=noise)
+        return sim.generate(
+            kind=args.kind, num_states=args.num_states,
+            num_points=args.num_points, seed=args.seed,
+            sun_noise_deg=noise)
+
+    ds = gen(0.0)
     sim.write_track_csv(ds, base + ".csv", with_covar=True)
     sim.write_track_csv(ds, base + "_vo.csv", with_covar=False)
     sim.write_ref_sun_csv(ds, base + "_sun_ref.csv")
     sim.write_gt_poses_csv(ds, base + "_gt_poses.csv")
     for noise in args.sun_noise:
-        ds_n = sim.generate(
-            kind=args.kind,
-            num_states=args.num_states,
-            num_points=args.num_points,
-            seed=args.seed,
-            sun_noise_deg=noise,
-        )
+        ds_n = gen(noise)
         sim.write_obs_sun_csv(ds_n, base + f"_sun_dir_gtsun{int(noise)}.csv")
     print(f"wrote {name} dataset to {args.out_dir}")
 

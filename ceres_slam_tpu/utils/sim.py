@@ -209,6 +209,162 @@ def generate(
     )
 
 
+def _drive_trajectory(num_states: int, rng, speed: float = 1.0):
+    """KITTI-style street drive: straight blocks joined by smooth 90-deg
+    corner turns (a city drive at ~10 m/s, ~1 m/frame at 10 Hz)."""
+    centers = np.zeros((num_states, 3))
+    fwd = np.zeros((num_states, 3))
+    pos = np.zeros(3)
+    heading = 0.0
+    k = 0
+    while k < num_states:
+        for _ in range(min(int(rng.integers(60, 220)), num_states - k)):
+            d = np.array([np.cos(heading), np.sin(heading), 0.0])
+            centers[k], fwd[k] = pos, d
+            pos = pos + speed * d
+            k += 1
+        if k >= num_states:
+            break
+        turn = float(rng.choice([-1.0, 1.0])) * np.pi / 2
+        steps = 20
+        for _ in range(min(steps, num_states - k)):
+            heading += turn / steps
+            d = np.array([np.cos(heading), np.sin(heading), 0.0])
+            centers[k], fwd[k] = pos, d
+            pos = pos + 0.7 * speed * d  # slower through the corner
+            k += 1
+    return centers, fwd
+
+
+def generate_kitti(
+    num_states: int = 1100,
+    num_points: int = 18000,
+    seed: int = 0,
+    stereo_noise: tuple = (0.5, 0.5, 0.7),
+    sun_noise_deg: float = 0.0,
+    mean_track_len: int = 12,
+    dropout: float = 0.1,
+    max_range: float = 40.0,
+    img_w: int = 613,
+    img_h: int = 185,
+) -> SimDataset:
+    """KITTI-*shaped* drive: the validation surface the real
+    `ba_all_icra/iser/kitti` harnesses need before real data exists
+    (reference sequence lists: scripts/ba_all_icra.sh:19-56). Differs
+    from the polygon sims in exactly the statistics that stress the
+    static-shape padding budgets:
+
+    - K >= 1000 poses on an open street-drive trajectory (not a loop);
+    - landmarks spawned along the corridor (buildings/ground left+right
+      of the road) rather than one arena;
+    - feature-TRACK observation structure: each landmark is tracked from
+      its first visible frame for a geometric-tail track length (mean
+      ``mean_track_len``, the 5-20 frame range real trackers produce)
+      with per-observation dropout — so per-window landmark counts and
+      per-landmark observation counts follow realistic distributions;
+    - KITTI-like intrinsics/image size (dense_stereo_test.cpp:22-26).
+    """
+    # half-resolution KITTI intrinsics (one pyrDown of
+    # dense_stereo_test.cpp:22-26; image size scales with them)
+    rng = np.random.default_rng(seed)
+    fu = fv = 721.5377 / 2
+    cu, cv = img_w / 2.0, img_h / 2.0
+    b = 0.53715
+
+    centers, forward = _drive_trajectory(num_states, rng)
+    up = np.array([0.0, 0.0, 1.0])
+    poses = np.zeros((num_states, 12))
+    for k in range(num_states):
+        z = forward[k]
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=0)
+        poses[k] = _se3_flat(-R @ centers[k], R)
+
+    # Landmarks along the corridor: anchored ahead of a random frame,
+    # offset laterally (building facades, road furniture) and in height.
+    anchor = rng.integers(0, num_states, num_points)
+    ahead = rng.uniform(5.0, 0.9 * max_range, num_points)
+    lateral = rng.uniform(-15.0, 15.0, num_points)
+    height = rng.uniform(-1.5, 4.0, num_points)
+    perp = np.stack([-forward[anchor, 1], forward[anchor, 0],
+                     np.zeros(num_points)], axis=-1)
+    points = (centers[anchor] + ahead[:, None] * forward[anchor]
+              + lateral[:, None] * perp)
+    points[:, 2] = height
+
+    # Vectorized visibility [K, J], then track-structure masking.
+    R_all = poses[:, 3:].reshape(num_states, 3, 3)
+    t_all = poses[:, :3]
+    p_c = np.einsum("kab,jb->kja", R_all, points) + t_all[:, None, :]
+    z = p_c[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = fu * p_c[..., 0] / z + cu
+        v = fv * p_c[..., 1] / z + cv
+        d = fu * b / z
+    vis = ((z > 0.8) & (z < max_range) & (u >= 5) & (u < img_w - 5)
+           & (v >= 5) & (v < img_h - 5) & (d > 0.5))
+    # tracker semantics: the track begins at a RANDOM visible frame (a
+    # tracker detects features continuously, not only at first physical
+    # visibility — anchoring at first-visibility leaves mid-block frames
+    # with no track starts at all) and survives ~geometric(1/mean)
+    # frames; individual detections inside the track drop out i.i.d.
+    any_vis = vis.any(axis=0)
+    track_len = 2 + rng.geometric(1.0 / max(mean_track_len - 2, 1),
+                                  num_points)
+    # start at a uniformly-random VISIBLE frame (visibility episodes are
+    # non-contiguous — a street corner can expose a landmark twice — so
+    # uniform-over-[first,last] starts would land in invisible gaps and
+    # leave post-turn frames with no live tracks at all)
+    counts = vis.sum(axis=0)
+    r = np.floor(rng.random(num_points) * np.maximum(counts, 1))
+    start = (np.cumsum(vis, axis=0) <= r[None, :]).sum(axis=0)
+    k_idx = np.arange(num_states)[:, None]
+    in_track = (k_idx >= start[None, :]) & (
+        k_idx < (start + track_len)[None, :]) & any_vis[None, :]
+    vis &= in_track & (rng.random(vis.shape) >= dropout)
+    # drop landmarks never observed twice (un-triangulatable tracks)
+    keep = vis.sum(axis=0) >= 2
+    vis[:, ~keep] = False
+
+    ks, js = np.nonzero(vis)
+    order = np.argsort(ks, kind="stable")
+    ks, js = ks[order], js[order]
+    uvd = np.stack([u[ks, js], v[ks, js], d[ks, js]], axis=-1)
+    uvd = uvd + rng.normal(0.0, stereo_noise, uvd.shape)
+    stereo_var = np.asarray(stereo_noise, dtype=float) ** 2
+    uvd_covar = np.broadcast_to(
+        np.diag(stereo_var), (uvd.shape[0], 3, 3)).copy()
+
+    el, az = np.deg2rad(40.0), np.deg2rad(120.0)
+    sun_g = np.array([np.cos(el) * np.sin(az), np.cos(el) * np.cos(az),
+                      np.sin(el)])
+    sun_dir_g = np.broadcast_to(sun_g, (num_states, 3)).copy()
+    sig = np.deg2rad(sun_noise_deg) if sun_noise_deg > 0 else 0.0
+    sun_obs_c = np.einsum("kab,b->ka", R_all, sun_g)
+    if sig > 0:
+        w = rng.normal(0.0, sig, (num_states, 3))
+        th = np.linalg.norm(w, axis=-1, keepdims=True)
+        axis = w / np.maximum(th, 1e-12)
+        cross = np.cross(axis, sun_obs_c)
+        dot = np.sum(axis * sun_obs_c, axis=-1, keepdims=True)
+        sun_obs_c = (np.cos(th) * sun_obs_c + np.sin(th) * cross
+                     + (1 - np.cos(th)) * dot * axis)
+    var = max(sig, np.deg2rad(0.5)) ** 2
+    sun_covar = np.broadcast_to(
+        np.diag([var, var]), (num_states, 2, 2)).copy()
+
+    return SimDataset(
+        fu=fu, fv=fv, cu=cu, cv=cv, b=b,
+        poses_gt=poses, points_gt=points,
+        state_ids=ks.astype(np.int64), point_ids=js.astype(np.int64),
+        uvd=uvd, uvd_covar=uvd_covar, stereo_var=stereo_var,
+        sun_dir_g=sun_dir_g, sun_obs_c=sun_obs_c, sun_covar=sun_covar,
+        has_sun=np.ones(num_states, bool),
+    )
+
+
 @dataclasses.dataclass
 class PhongSimDataset:
     """Simulated Phong-shaded scene (dataset_ba_phong workload)."""
