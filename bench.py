@@ -122,6 +122,22 @@ def _sync(x) -> float:
     return float(x)  # forces device->host fetch (real sync under the relay)
 
 
+def _median_rate(block, work_per_block, blocks: int = 3) -> float:
+    """Median rate over ``blocks`` independently-timed measurement
+    windows. ``block()`` runs a batch of work and returns a scalar to
+    fetch. One window is vulnerable to relay-state outliers (r4: two
+    same-round RANSAC captures differed 2x); the median of three ~0.5-1 s
+    windows is stable to ~15% (VERDICT r4 item 9)."""
+    import statistics
+
+    rates = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        _sync(block())
+        rates.append(work_per_block / (time.perf_counter() - t0))
+    return float(statistics.median(rates))
+
+
 def measure_lm(dtype, strategy="lm") -> float:
     problem, state = build(dtype)
     run = lm_loop_fn(problem, strategy)
@@ -136,13 +152,14 @@ def measure_lm(dtype, strategy="lm") -> float:
         "per-iteration rate would be meaningless — fix the bench problem"
     )
     _sync(summary.final_cost)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        _, summary = run(problem, state)
-    _sync(summary.final_cost)
-    dt = time.perf_counter() - t0
-    return reps * iters / dt
+    reps = 5
+
+    def block():
+        for _ in range(reps):
+            _, s = run(problem, state)
+        return s.final_cost
+
+    return _median_rate(block, reps * iters)
 
 
 def measure_pcg(dtype, banded: bool = False) -> float:
@@ -162,13 +179,14 @@ def measure_pcg(dtype, banded: bool = False) -> float:
             problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
     run = pcg_loop_fn(tables, tracks)
     _sync(run(problem, state))  # compile + warm
-    t0 = time.perf_counter()
     reps = 3
-    for _ in range(reps):
-        c = run(problem, state)
-    _sync(c)
-    dt = time.perf_counter() - t0
-    return reps * LOOP_ITERS / dt
+
+    def block():
+        for _ in range(reps):
+            c = run(problem, state)
+        return c
+
+    return _median_rate(block, reps * LOOP_ITERS)
 
 
 def measure_ransac(dtype) -> float:
@@ -204,13 +222,14 @@ def measure_ransac(dtype) -> float:
         return jax.lax.fori_loop(0, FUSED, body, jnp.asarray(0, jnp.int32))
 
     _sync(run(jax.random.PRNGKey(0)))
-    t0 = time.perf_counter()
     reps = 5
-    for i in range(reps):
-        c = run(jax.random.PRNGKey(i))
-    _sync(c)
-    dt = time.perf_counter() - t0
-    return reps * FUSED * RANSAC_ITERS * RANSAC_N / dt
+
+    def block():
+        for i in range(reps):
+            c = run(jax.random.PRNGKey(i))
+        return c
+
+    return _median_rate(block, reps * FUSED * RANSAC_ITERS * RANSAC_N)
 
 
 def measure_matching(dtype) -> float:
@@ -241,12 +260,14 @@ def measure_matching(dtype) -> float:
         return jax.lax.fori_loop(0, FUSED, body, jnp.asarray(0, jnp.int32))
 
     _sync(run(desc_a))
-    t0 = time.perf_counter()
     reps = 5
-    for _ in range(reps):
-        c = run(desc_a)
-    _sync(c)
-    return reps * FUSED * N * N / (time.perf_counter() - t0)
+
+    def block():
+        for _ in range(reps):
+            c = run(desc_a)
+        return c
+
+    return _median_rate(block, reps * FUSED * N * N)
 
 
 def main():

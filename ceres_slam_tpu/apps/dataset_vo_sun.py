@@ -16,7 +16,17 @@ accepted in degrees and converted to radians (:228-239).
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time as _time
+
+_T_IMPORT = _time.perf_counter()
+
+
+def _phase(label):
+    if os.environ.get("CSTPU_TIMING"):
+        print(f"  [t+{_time.perf_counter() - _T_IMPORT:6.1f}s] {label}",
+              file=sys.stderr, flush=True)
 
 
 def main(argv=None):
@@ -50,7 +60,9 @@ def main(argv=None):
     # Schur reduce/factorize/covariance chain to f64
     # (window._auto_schur_dtype) — the part the 1e-12 prior conditioning
     # (dataset_problem_sun.cpp:80) actually needs.
+    _phase("argparse done")
     setup_jax(args.platform, x64=True)
+    _phase("jax configured")
 
     from ceres_slam_tpu.problems.dataset import DatasetProblemSun
     from ceres_slam_tpu.solver.dense import SolveConfig
@@ -65,6 +77,7 @@ def main(argv=None):
         args.track_file, args.ref_sun_file, args.obs_sun_file
     )
     dataset.dtype = args.dtype
+    _phase("dataset loaded")
     print(
         f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
         f"{dataset.state_ids.size} stereo obs, "
@@ -115,6 +128,7 @@ def main(argv=None):
             sun_method = obs_base.split("_")[-1]
             csvio.write_poses_csv(f"{track_base}_{sun_method}_poses.csv",
                                   results[1].poses)
+            _phase("outputs written")
             return
 
     if not args.sun_only:

@@ -40,6 +40,9 @@ def _cpu_fingerprint() -> str:
 
 
 def cache_dir(repo_root: str | None = None) -> str:
+    override = os.environ.get("CSTPU_CACHE_DIR")
+    if override:  # measurement hook: enumerate a run's executables
+        return os.path.abspath(override)
     if repo_root is None:
         repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
     return os.path.abspath(
