@@ -98,11 +98,23 @@ def ransac_align(
     dtype = pts_0.dtype
 
     # --- sample 3 distinct valid indices per hypothesis -------------------
-    # Gumbel top-k over masked logits: one [H, N] tensor op, no rejection
+    # Gumbel top-3 over masked logits: one [H, N] tensor op, no rejection
     # loops (the reference burns mt19937 draws in while-loops, :85-93).
+    # Selected via 3x (argmax + mask) rather than lax.top_k: identical
+    # selection (the 3 largest scores; Umeyama is order-invariant), but
+    # top_k lowers to a TPU sort whose generated code dominated the
+    # 18 MB RANSAC executable — at the relay's ~2 MB/s per-process
+    # upload, executable bytes are wall time (r5 recon).
     logits = jnp.where(valid, 0.0, -jnp.inf)
-    gumbel = jax.random.gumbel(key, (num_iters, N), dtype=dtype)
-    _, idx = jax.lax.top_k(logits[None, :] + gumbel, 3)  # [H, 3]
+    scores = logits[None, :] + jax.random.gumbel(
+        key, (num_iters, N), dtype=dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (num_iters, N), 1)
+    picks = []
+    for _ in range(3):
+        i = jnp.argmax(scores, axis=-1)  # [H]
+        picks.append(i)
+        scores = jnp.where(cols == i[:, None], -jnp.inf, scores)
+    idx = jnp.stack(picks, axis=-1)  # [H, 3]
 
     h0 = pts_0[idx]  # [H, 3, 3]
     h1 = pts_1[idx]

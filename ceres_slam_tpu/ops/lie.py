@@ -202,28 +202,31 @@ def so3_adjoint(C: jnp.ndarray) -> jnp.ndarray:
     return C
 
 
-def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 5):
-    """Batched symmetric 4x4 eigendecomposition by cyclic Jacobi.
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 5):
+    """Batched symmetric n x n (n small, static) eigendecomposition by
+    cyclic Jacobi.
 
     Pure jnp rotations — deliberately NOT `jnp.linalg.eigh/svd`: those
     lower to LAPACK-style custom calls whose TPU lowering is broken on
     this toolchain (a bare jitted 3x3 batched SVD SIGABRTs the XLA
     compiler; embedded in a larger program it silently emits NaN/garbage
-    factors — measured r4, out/r4/tpu_prof.log). Five cyclic sweeps reach
-    f64 machine precision for 4x4 symmetric matrices on any backend
-    (worst relative off-diagonal over 500 random trials: 4e-7 after 4
-    sweeps, 1.6e-16 after 5), branch-free. Returns ``(eigenvalues
-    [..., 4], V)`` with eigenvectors in columns (unsorted)."""
+    factors — measured r4, out/r4/tpu_prof.log), and even where eigh
+    works its TPU code is enormous (a single eager 3x3-batch whitening
+    eigh compiled to a 2 MB executable, r5 recon) — at the relay's
+    ~2 MB/s per-process upload, program bytes are wall time. Cyclic
+    sweeps are rolled into a fori_loop for the same reason. Returns
+    ``(eigenvalues [..., n], V)`` with eigenvectors in columns
+    (unsorted). 5 sweeps reach f64 machine precision at n=4 (worst
+    off-diagonal over 500 trials: 1.6e-16); use ~6-7 for n=6."""
+    n = A.shape[-1]
     dtype = A.dtype
     batch = A.shape[:-2]
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), batch + (4, 4))
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch + (n, n))
+    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
 
     def sweep(_, carry):
-        # one cyclic sweep; rolled into a fori_loop so the emitted
-        # program stays small (the unrolled form compiled to a 33 MB TPU
-        # executable whose per-process relay upload cost ~30 s)
         A, V = carry
-        for p, q in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+        for p, q in pairs:
             apq = A[..., p, q]
             theta = 0.5 * jnp.arctan2(2.0 * apq,
                                       A[..., p, p] - A[..., q, q])
@@ -236,6 +239,11 @@ def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 5):
 
     A, V = jax.lax.fori_loop(0, sweeps, sweep, (A, eye))
     return jnp.diagonal(A, axis1=-2, axis2=-1), V
+
+
+def jacobi_eigh4(A: jnp.ndarray, sweeps: int = 5):
+    """4x4 case of `jacobi_eigh` (the aligner's Horn profile matrix)."""
+    return jacobi_eigh(A, sweeps)
 
 
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:

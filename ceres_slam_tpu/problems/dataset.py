@@ -77,7 +77,11 @@ class DatasetProblem:
         problem build when done per window."""
         cached = getattr(self, "_camera_dt_cache", None)
         if cached is None or cached[0] != self.dtype:
-            self._camera_dt_cache = (self.dtype, self.camera.astype(self._dt))
+            from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
+
+            with host_cpu_ctx():
+                cam = self.camera.astype(self._dt)
+            self._camera_dt_cache = (self.dtype, cam)
         return self._camera_dt_cache[1]
 
     _covar_floor: float = 1e-12
@@ -99,7 +103,14 @@ class DatasetProblem:
     def _parse_header(self, rows, with_var_line: bool):
         self.num_states, self.num_points = int(rows[0][0]), int(rows[0][1])
         fu, fv, cu, cv, b = rows[1][:5]
-        self.camera = StereoCamera.create(fu, fv, cu, cv, b)
+        # camera scalars live on the host CPU backend; they ride into
+        # jitted device programs as (tiny) auto-transferred inputs. An
+        # eager TPU placement here was the process's FIRST device
+        # contact — 11-110 s of relay grant before any real work (r5)
+        from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
+
+        with host_cpu_ctx():
+            self.camera = StereoCamera.create(fu, fv, cu, cv, b)
         i = 2
         if with_var_line:
             self.stereo_obs_var = np.asarray(rows[i][:3])
@@ -135,15 +146,21 @@ class DatasetProblem:
         self._state_obs = [
             np.nonzero(self.state_ids == k)[0] for k in range(K)
         ]
-        # pre-triangulated camera-frame points for all observations
-        self._pts_c = np.asarray(self.camera.triangulate(jnp.asarray(self.obs_list)))
-        # pre-whitened stiffness for all observations (covariances are
-        # static per dataset; computing per window costs a device call each)
-        self._stiffness_all = np.asarray(
-            factors.inv_sqrt_psd(jnp.asarray(self.obs_covars))
-        )
+        # pre-triangulated camera-frame points + pre-whitened stiffness
+        # for all observations (covariances are static per dataset).
+        # Pinned to the host CPU backend: on the TPU relay these eager
+        # ops were the FIRST device contact and cost 11-110 s of grant +
+        # executable upload (r5 recon) for work numpy consumes anyway.
+        from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
+
+        with host_cpu_ctx():
+            self._pts_c = np.asarray(
+                self.camera.triangulate(jnp.asarray(self.obs_list)))
+            self._stiffness_all = np.asarray(
+                factors.inv_sqrt_psd(jnp.asarray(self.obs_covars))
+            )
         if os.environ.get("CSTPU_TIMING"):
-            print(f"  dataset init (triangulate + whiten, eager): "
+            print(f"  dataset init (triangulate + whiten, host): "
                   f"{_time.perf_counter() - _t0:.1f}s", file=sys.stderr,
                   flush=True)
         # static pad size for RANSAC match arrays
@@ -218,6 +235,8 @@ class DatasetProblem:
             pts1[k, :M] = self._pts_c[idx_b]
             valid[k, :M] = True
 
+        from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
+
         vmapped = jax.jit(
             jax.vmap(
                 lambda a, b, v, key: alignment.ransac_align(
@@ -226,7 +245,11 @@ class DatasetProblem:
                 )
             )
         )
-        keys = jax.vmap(jax.random.PRNGKey)(self.rng_seed + jnp.arange(K))
+        # key construction + chunk padding are eager host work (each
+        # eager op on the relay is a program upload + ~30 ms round trip)
+        with host_cpu_ctx():
+            keys = jax.vmap(jax.random.PRNGKey)(
+                self.rng_seed + jnp.arange(K))
         self._pair_T = np.zeros((K, 12))
         self._pair_inliers = np.zeros((K, P), bool)
         self._pair_num_inliers = np.zeros(K, np.int64)
@@ -244,9 +267,11 @@ class DatasetProblem:
                 buf[:n] = x[s:e]
                 return jnp.asarray(buf)
 
-            kpad = keys[s:e] if n == chunk else jnp.concatenate(
-                [keys[s:e],
-                 jnp.broadcast_to(keys[s], (chunk - n,) + keys.shape[1:])])
+            with host_cpu_ctx():
+                kpad = keys[s:e] if n == chunk else jnp.concatenate(
+                    [keys[s:e],
+                     jnp.broadcast_to(keys[s],
+                                      (chunk - n,) + keys.shape[1:])])
             res = vmapped(padc(pts0), padc(pts1), padc(valid), kpad)
             self._pair_T[s:e] = np.asarray(res.T_1_0)[:n]
             self._pair_inliers[s:e] = np.asarray(res.inliers)[:n]

@@ -92,22 +92,10 @@ class PassStatics(NamedTuple):
 
 
 def _host_cpu_ctx():
-    """Context manager pinning eager array work to the host CPU backend
-    (warns loudly when none is registered — that silently degrades the
-    statics build to ~25 ms relay latency PER OP, measured r4)."""
-    import contextlib
+    """Shared host-CPU pinning (utils.hostdev.host_cpu_ctx)."""
+    from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
 
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-        return jax.default_device(cpu)
-    except Exception:
-        import sys
-
-        print("  WARNING: no CPU backend registered — statics precompute "
-              "runs on the accelerator (~25 ms relay latency PER OP; "
-              "keep 'cpu' in jax_platforms, see apps/common.setup_jax)",
-              file=sys.stderr, flush=True)
-        return contextlib.nullcontext()
+    return host_cpu_ctx()
 
 
 def host_statics_cached(ds, window: int, progress: bool = False):
@@ -266,8 +254,11 @@ def _precompute_pass_host(ds, window: int):
 
 def _inv_sqrt_psd6(C):
     """Device 6x6 inverse matrix square root (f64 for the 1e-12-scale
-    prior chain, cast back by the caller)."""
-    w, V = jnp.linalg.eigh(C)
+    prior chain, cast back by the caller). Cyclic Jacobi instead of
+    `jnp.linalg.eigh`: same result to machine precision (7 sweeps at
+    n=6), but the eigh TPU lowering is multi-MB of program — bytes are
+    relay wall time (lie.jacobi_eigh docstring)."""
+    w, V = lie.jacobi_eigh(C, sweeps=7)
     w = jnp.clip(w, 1e-300, None)
     return (V * (1.0 / jnp.sqrt(w))[None, :]) @ V.T
 

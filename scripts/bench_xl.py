@@ -156,7 +156,7 @@ def measure_phong(dtype, num_states=200, num_points=1000):
             "compile_s": round(compile_s, 1)}
 
 
-def measure_photometric(dtype, H=240, W=320):
+def measure_photometric(dtype, H=240, W=320, sampler="gather"):
     """Dense photometric alignment (the ImageError workload,
     dense_stereo_test.cpp:61-115): one residual per pixel — pose +
     per-pixel disparity refinement. Rate = LM iterations/s."""
@@ -192,7 +192,10 @@ def measure_photometric(dtype, H=240, W=320):
         disparities=disp0)
     cfg = lm.SolveConfig(max_iters=LOOP_ITERS, ftol=0.0, gtol=0.0,
                          run_full_budget=True)
-    run = jax.jit(ph.solve_photometric, static_argnames=("config",))
+    def run(problem, state0, cfg):
+        # solve_photometric jits internally (static config + sampler)
+        return ph.solve_photometric(problem, state0, cfg, sampler=sampler)
+
     t0 = time.perf_counter()
     _, summary = run(problem, state0, cfg)
     iters = int(summary.iterations)
@@ -205,7 +208,8 @@ def measure_photometric(dtype, H=240, W=320):
     _sync(summary.final_cost)
     dt = time.perf_counter() - t0
     return {"metric": "photometric_it_s", "pixels": int(ref_uv.shape[0]),
-            "H": H, "W": W, "it_s": round(reps * iters / dt, 2),
+            "H": H, "W": W, "sampler": sampler,
+            "it_s": round(reps * iters / dt, 2),
             "compile_s": round(compile_s, 1)}
 
 
@@ -241,8 +245,14 @@ def main():
             r["platform"] = platform
             print(json.dumps(r), flush=True)
     if "--no-workloads" not in sys.argv:
-        for fn in (measure_phong, measure_photometric):
-            r = fn(jnp.float32)
+        r = measure_phong(jnp.float32)
+        r["platform"] = platform
+        print(json.dumps(r), flush=True)
+        # the VMEM-resident MXU sampling kernel vs the gather path: the
+        # gather path is the r4 record (0.74x CPU); the kernel is the fix
+        samplers = ("gather", "pallas") if platform == "tpu" else ("gather",)
+        for sampler in samplers:
+            r = measure_photometric(jnp.float32, sampler=sampler)
             r["platform"] = platform
             print(json.dumps(r), flush=True)
 
