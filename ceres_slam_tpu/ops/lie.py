@@ -286,10 +286,76 @@ def nearest_rotation(W: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([m(0, 1) - m(1, 0), m(2, 0) + m(0, 2),
                    m(1, 2) + m(2, 1), m(2, 2) - m(0, 0) - m(1, 1)], -1),
     ], axis=-2)
-    vals, V = jacobi_eigh4(N)
-    onehot = jax.nn.one_hot(jnp.argmax(vals, axis=-1), 4, dtype=V.dtype)
-    q = jnp.einsum("...ij,...j->...i", V, onehot)
+    q = max_eigvec4(N)
     return quat_to_rot(q)
+
+
+def max_eigvec4(N: jnp.ndarray, newton_iters: int = 26) -> jnp.ndarray:
+    """Unit eigenvector of the LARGEST eigenvalue of a symmetric 4x4,
+    closed form: lambda_max by unrolled Newton on the characteristic
+    quartic from the Frobenius upper bound (monotone, quadratically
+    convergent — no loops), eigenvector as the dominant column of
+    adj(N - lambda I) (rank-1 = v v^T scaled for a simple eigenvalue).
+
+    This replaces the iterative `jacobi_eigh4` path in the aligner: the
+    TPU loop optimizer clone-duplicates a fori_loop body enough times
+    that the 400-hypothesis RANSAC program decompressed to 137 MB of
+    mostly-lie.py loop clones (18 MB on the wire — at the relay's
+    ~2 MB/s per-process executable upload that was ~10 s of flagship
+    wall, r5 recon). Closed form emits a few hundred elementwise ops.
+    Degenerate (repeated lambda_max) inputs give adj ~ 0 and fall back
+    to the zero quaternion -> identity rotation via `quat_to_rot`'s
+    normalization floor."""
+    dtype = N.dtype
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), N.shape)
+    tr4 = jnp.trace(N, axis1=-2, axis2=-1)[..., None, None] / 4.0
+    B = N - tr4 * eye  # traceless
+    B2 = B @ B
+    trB2 = jnp.trace(B2, axis1=-2, axis2=-1)
+    trB3 = jnp.trace(B2 @ B, axis1=-2, axis2=-1)
+    trB4 = jnp.sum(B2 * jnp.swapaxes(B2, -1, -2), axis=(-2, -1))
+    # char poly of traceless symmetric B: p(x) = x^4 + e2 x^2 - e3 x + e4
+    e2 = -0.5 * trB2
+    e3 = trB3 / 3.0
+    e4 = 0.125 * (trB2 * trB2 - 2.0 * trB4)
+    lam = jnp.sqrt(jnp.clip(trB2, 0.0, None))  # >= lambda_max, p(lam) >= 0
+    for _ in range(newton_iters):
+        p = ((lam * lam + e2) * lam - e3) * lam + e4
+        dp = (4.0 * lam * lam + 2.0 * e2) * lam - e3
+        dp = jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
+        # clamp to a pure descent step: above the largest root p/dp >= 0
+        lam = lam - jnp.clip(p / dp, 0.0, None)
+    M = B - lam[..., None, None] * eye
+    # adjugate of symmetric 4x4 via cofactors (adj = c * v v^T, rank 1)
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (
+            M[..., r0, c0] * (M[..., r1, c1] * M[..., r2, c2]
+                              - M[..., r1, c2] * M[..., r2, c1])
+            - M[..., r0, c1] * (M[..., r1, c0] * M[..., r2, c2]
+                                - M[..., r1, c2] * M[..., r2, c0])
+            + M[..., r0, c2] * (M[..., r1, c0] * M[..., r2, c1]
+                                - M[..., r1, c1] * M[..., r2, c0])
+        )
+
+    rows = (0, 1, 2, 3)
+    cols = []
+    for j in range(4):
+        rj = [r for r in rows if r != j]
+        col = []
+        for i in range(4):
+            ci = [c for c in rows if c != i]
+            sign = (-1.0) ** (i + j)
+            # cofactor C_ij = sign * minor(i, j); adj[j, i] = C_ij, and
+            # for symmetric M adj is symmetric — build column j of adj
+            col.append(sign * det3(rj[0], rj[1], rj[2], ci[0], ci[1], ci[2]))
+        cols.append(jnp.stack(col, axis=-1))  # adj[:, j]
+    A = jnp.stack(cols, axis=-1)  # [..., 4, 4] adjugate
+    # dominant column (largest diagonal of v v^T * c — sign-safe |.|)
+    diag = jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))
+    onehot = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 4, dtype=dtype)
+    v = jnp.einsum("...ij,...j->...i", A, onehot)
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.maximum(n, jnp.finfo(dtype).tiny)
 
 
 def so3_normalize(C: jnp.ndarray) -> jnp.ndarray:

@@ -254,11 +254,13 @@ def _precompute_pass_host(ds, window: int):
 
 def _inv_sqrt_psd6(C):
     """Device 6x6 inverse matrix square root (f64 for the 1e-12-scale
-    prior chain, cast back by the caller). Cyclic Jacobi instead of
-    `jnp.linalg.eigh`: same result to machine precision (7 sweeps at
-    n=6), but the eigh TPU lowering is multi-MB of program — bytes are
-    relay wall time (lie.jacobi_eigh docstring)."""
-    w, V = lie.jacobi_eigh(C, sweeps=7)
+    prior chain, cast back by the caller). Uses `jnp.linalg.eigh`: A/B
+    executable-size measurement (r5, cache_flagship v1 vs v2) showed the
+    in-scan eigh lowering is COMPACT here (scan program 7.1 MB) while a
+    cyclic-Jacobi fori_loop body gets clone-duplicated by the TPU loop
+    optimizer to 13 MB — the opposite of the aligner situation
+    (lie.nearest_rotation docstring)."""
+    w, V = jnp.linalg.eigh(C)
     w = jnp.clip(w, 1e-300, None)
     return (V * (1.0 / jnp.sqrt(w))[None, :]) @ V.T
 
