@@ -30,8 +30,12 @@ def main(argv=None):
                    choices=["auto", "dense", "schur"],
                    help="auto picks schur past ~1k dof (full batch), "
                         "dense at window scale")
+    p.add_argument("--dtype", default="float64",
+                   choices=["float64", "float32"],
+                   help="solver dtype (float32 = fast TPU mode; the "
+                        "shade chain keeps its f64 promotions)")
     args = p.parse_args(argv)
-    setup_jax(args.platform)
+    setup_jax(args.platform, x64=True)
 
     from ceres_slam_tpu.problems.dataset_phong import DatasetProblemPhong
     from ceres_slam_tpu.solver.lm import SolveConfig
@@ -39,6 +43,7 @@ def main(argv=None):
     dataset = DatasetProblemPhong.read_csv(
         args.input_file, directional_light=args.dirlight
     )
+    dataset.dtype = args.dtype
     print(
         f"Loaded {dataset.num_states} states, {dataset.num_vertices} vertices, "
         f"{dataset.num_materials} materials, {dataset.state_ids.size} observations",

@@ -265,55 +265,63 @@ def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
 
 def nearest_rotation(W: jnp.ndarray) -> jnp.ndarray:
     """``argmax_R tr(R^T W)`` — the proper rotation nearest to ``W``
-    (Frobenius), via Horn's quaternion method: eigenvector of the
-    largest eigenvalue of the 4x4 profile matrix (`jacobi_eigh4`).
-    Equivalent to SVD-with-det-correction but always well-defined
-    (degenerate/rank-deficient ``W`` included) and TPU-safe (see
-    `jacobi_eigh4` on why SVD is avoided)."""
-    M = jnp.swapaxes(W, -1, -2)
+    (Frobenius), via Horn's quaternion method in CLOSED FORM: the
+    dominant eigenvector of the 4x4 profile matrix by unrolled Newton on
+    the characteristic quartic + rank-1 adjugate. Equivalent to
+    SVD-with-det-correction but always well-defined (degenerate/
+    rank-deficient ``W`` included) and TPU-safe (`jacobi_eigh` on why
+    SVD is avoided).
 
-    def m(i, j):
-        return M[..., i, j]
+    LANE-MAJOR internals: every 3x3/4x4 element is a separate
+    batch-shaped lane vector and no ``[..., 4, 4]`` array ever exists.
+    Batched tiny-matrix arrays tile to (4, 4) sublaneXlane blocks on
+    TPU, and every element slice forces a relayout — the earlier
+    array-form closed form still compiled the 400-hypothesis RANSAC to
+    92 MB of relayout/elementwise code (r5 recon, 38k bare muls). The
+    same doctrine as ops/pallas_kernels._stereo_math."""
+    batch = W.shape[:-2]
+    Wf = W.reshape((-1, 3, 3))
+
+    def m(i, j):  # M = W^T entries
+        return Wf[:, j, i]
 
     tr = m(0, 0) + m(1, 1) + m(2, 2)
-    N = jnp.stack([
-        jnp.stack([tr, m(1, 2) - m(2, 1), m(2, 0) - m(0, 2),
-                   m(0, 1) - m(1, 0)], -1),
-        jnp.stack([m(1, 2) - m(2, 1), m(0, 0) - m(1, 1) - m(2, 2),
-                   m(0, 1) + m(1, 0), m(2, 0) + m(0, 2)], -1),
-        jnp.stack([m(2, 0) - m(0, 2), m(0, 1) + m(1, 0),
-                   m(1, 1) - m(0, 0) - m(2, 2), m(1, 2) + m(2, 1)], -1),
-        jnp.stack([m(0, 1) - m(1, 0), m(2, 0) + m(0, 2),
-                   m(1, 2) + m(2, 1), m(2, 2) - m(0, 0) - m(1, 1)], -1),
-    ], axis=-2)
-    q = max_eigvec4(N)
-    return quat_to_rot(q)
+    N = [
+        [tr, m(1, 2) - m(2, 1), m(2, 0) - m(0, 2), m(0, 1) - m(1, 0)],
+        [m(1, 2) - m(2, 1), m(0, 0) - m(1, 1) - m(2, 2),
+         m(0, 1) + m(1, 0), m(2, 0) + m(0, 2)],
+        [m(2, 0) - m(0, 2), m(0, 1) + m(1, 0),
+         m(1, 1) - m(0, 0) - m(2, 2), m(1, 2) + m(2, 1)],
+        [m(0, 1) - m(1, 0), m(2, 0) + m(0, 2),
+         m(1, 2) + m(2, 1), m(2, 2) - m(0, 0) - m(1, 1)],
+    ]
+    q = _max_eigvec4_lanes(N)  # 4 lane vectors
+    w, x, y, z = q
+    R_rows = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ]
+    R = jnp.stack([jnp.stack(r, axis=-1) for r in R_rows], axis=-2)
+    return R.reshape(batch + (3, 3))
 
 
-def max_eigvec4(N: jnp.ndarray, newton_iters: int = 26) -> jnp.ndarray:
-    """Unit eigenvector of the LARGEST eigenvalue of a symmetric 4x4,
-    closed form: lambda_max by unrolled Newton on the characteristic
-    quartic from the Frobenius upper bound (monotone, quadratically
-    convergent — no loops), eigenvector as the dominant column of
-    adj(N - lambda I) (rank-1 = v v^T scaled for a simple eigenvalue).
-
-    This replaces the iterative `jacobi_eigh4` path in the aligner: the
-    TPU loop optimizer clone-duplicates a fori_loop body enough times
-    that the 400-hypothesis RANSAC program decompressed to 137 MB of
-    mostly-lie.py loop clones (18 MB on the wire — at the relay's
-    ~2 MB/s per-process executable upload that was ~10 s of flagship
-    wall, r5 recon). Closed form emits a few hundred elementwise ops.
-    Degenerate (repeated lambda_max) inputs give adj ~ 0 and fall back
-    to the zero quaternion -> identity rotation via `quat_to_rot`'s
-    normalization floor."""
-    dtype = N.dtype
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), N.shape)
-    tr4 = jnp.trace(N, axis1=-2, axis2=-1)[..., None, None] / 4.0
-    B = N - tr4 * eye  # traceless
-    B2 = B @ B
-    trB2 = jnp.trace(B2, axis1=-2, axis2=-1)
-    trB3 = jnp.trace(B2 @ B, axis1=-2, axis2=-1)
-    trB4 = jnp.sum(B2 * jnp.swapaxes(B2, -1, -2), axis=(-2, -1))
+def _max_eigvec4_lanes(N, newton_iters: int = 26):
+    """Closed-form dominant unit eigenvector of a symmetric 4x4 given as
+    a 4x4 nested list of batch-shaped lane vectors; returns 4 lane
+    vectors (see `nearest_rotation` for the lane-major rationale and
+    `max_eigvec4` for the math). Degenerate (repeated lambda_max) inputs
+    return the identity quaternion."""
+    dtype = N[0][0].dtype
+    one = jnp.ones_like(N[0][0])
+    t4 = (N[0][0] + N[1][1] + N[2][2] + N[3][3]) / 4.0
+    B = [[N[i][j] - (t4 if i == j else 0.0) for j in range(4)]
+         for i in range(4)]
+    B2 = [[sum(B[i][k] * B[k][j] for k in range(4)) for j in range(4)]
+          for i in range(4)]
+    trB2 = sum(B2[i][i] for i in range(4))
+    trB3 = sum(B2[i][j] * B[j][i] for i in range(4) for j in range(4))
+    trB4 = sum(B2[i][j] * B2[j][i] for i in range(4) for j in range(4))
     # char poly of traceless symmetric B: p(x) = x^4 + e2 x^2 - e3 x + e4
     e2 = -0.5 * trB2
     e3 = trB3 / 3.0
@@ -323,39 +331,45 @@ def max_eigvec4(N: jnp.ndarray, newton_iters: int = 26) -> jnp.ndarray:
         p = ((lam * lam + e2) * lam - e3) * lam + e4
         dp = (4.0 * lam * lam + 2.0 * e2) * lam - e3
         dp = jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
-        # clamp to a pure descent step: above the largest root p/dp >= 0
-        lam = lam - jnp.clip(p / dp, 0.0, None)
-    M = B - lam[..., None, None] * eye
-    # adjugate of symmetric 4x4 via cofactors (adj = c * v v^T, rank 1)
-    def det3(r0, r1, r2, c0, c1, c2):
+        lam = lam - jnp.clip(p / dp, 0.0, None)  # monotone descent
+    M = [[B[i][j] - (lam if i == j else 0.0) for j in range(4)]
+         for i in range(4)]
+
+    def det3(rs, cs):
+        (r0, r1, r2), (c0, c1, c2) = rs, cs
         return (
-            M[..., r0, c0] * (M[..., r1, c1] * M[..., r2, c2]
-                              - M[..., r1, c2] * M[..., r2, c1])
-            - M[..., r0, c1] * (M[..., r1, c0] * M[..., r2, c2]
-                                - M[..., r1, c2] * M[..., r2, c0])
-            + M[..., r0, c2] * (M[..., r1, c0] * M[..., r2, c1]
-                                - M[..., r1, c1] * M[..., r2, c0])
+            M[r0][c0] * (M[r1][c1] * M[r2][c2] - M[r1][c2] * M[r2][c1])
+            - M[r0][c1] * (M[r1][c0] * M[r2][c2] - M[r1][c2] * M[r2][c0])
+            + M[r0][c2] * (M[r1][c0] * M[r2][c1] - M[r1][c1] * M[r2][c0])
         )
 
     rows = (0, 1, 2, 3)
-    cols = []
+    # adj columns: adj[i][j] = C[j][i] = (-1)^(i+j) minor(row j, col i)
+    adj = [[None] * 4 for _ in range(4)]
     for j in range(4):
-        rj = [r for r in rows if r != j]
-        col = []
+        rj = tuple(r for r in rows if r != j)
         for i in range(4):
-            ci = [c for c in rows if c != i]
-            sign = (-1.0) ** (i + j)
-            # cofactor C_ij = sign * minor(i, j); adj[j, i] = C_ij, and
-            # for symmetric M adj is symmetric — build column j of adj
-            col.append(sign * det3(rj[0], rj[1], rj[2], ci[0], ci[1], ci[2]))
-        cols.append(jnp.stack(col, axis=-1))  # adj[:, j]
-    A = jnp.stack(cols, axis=-1)  # [..., 4, 4] adjugate
-    # dominant column (largest diagonal of v v^T * c — sign-safe |.|)
-    diag = jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))
-    onehot = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 4, dtype=dtype)
-    v = jnp.einsum("...ij,...j->...i", A, onehot)
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / jnp.maximum(n, jnp.finfo(dtype).tiny)
+            ci = tuple(c for c in rows if c != i)
+            adj[i][j] = ((-1.0) ** (i + j)) * det3(rj, ci)
+    # dominant column by |diagonal| — branchless 4-way select
+    diag = [jnp.abs(adj[k][k]) for k in range(4)]
+    best01 = diag[0] >= diag[1]
+    d01 = jnp.where(best01, diag[0], diag[1])
+    best23 = diag[2] >= diag[3]
+    d23 = jnp.where(best23, diag[2], diag[3])
+    front = d01 >= d23
+    q = []
+    for i in range(4):
+        c01 = jnp.where(best01, adj[i][0], adj[i][1])
+        c23 = jnp.where(best23, adj[i][2], adj[i][3])
+        q.append(jnp.where(front, c01, c23))
+    n2 = sum(qi * qi for qi in q)
+    # repeated lambda_max -> adj ~ 0 -> identity quaternion fallback
+    degenerate = n2 < jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    inv = one / jnp.sqrt(jnp.where(degenerate, 1.0, n2))
+    q = [jnp.where(degenerate, init, qi * inv)
+         for qi, init in zip(q, (one, 0.0 * one, 0.0 * one, 0.0 * one))]
+    return q
 
 
 def so3_normalize(C: jnp.ndarray) -> jnp.ndarray:

@@ -202,9 +202,11 @@ def stereo_factor_blocks(
 # ---------------------------------------------------------------------------
 
 
-def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
-                   w_ref, wp_ref, hll_ref, u_ref, gl_ref, hppgp_ref):
-    i = pl.program_id(0)
+def _window_math(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
+                 w_ref, wp_ref, hll_ref, u_ref, gl_ref):
+    """Shared kernel body: writes the landmark-side refs, returns the
+    pose-side reduction ``tile_red [43, K]`` for the caller to
+    accumulate (gridded) or assign (single whole-block)."""
     dtype = posesT_ref.dtype
 
     # Gather the per-observation poses with an MXU one-hot matmul:
@@ -256,12 +258,20 @@ def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
         [Hpp[a][b_] for a in range(6) for b_ in range(6)] + gp + [cost_lane],
         axis=0,
     )  # [43, TILE]
-    tile_red = jax.lax.dot_general(
+    return jax.lax.dot_general(
         contrib, onehotT_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
     )  # [43, K]
+
+
+def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
+                   w_ref, wp_ref, hll_ref, u_ref, gl_ref, hppgp_ref):
+    i = pl.program_id(0)
+    tile_red = _window_math(cam_ref, posesT_ref, onehotT_ref, p_ref,
+                            uvd_ref, S_ref, w_ref, wp_ref, hll_ref, u_ref,
+                            gl_ref)
 
     @pl.when(i == 0)
     def _():
@@ -270,6 +280,19 @@ def _window_kernel(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref,
     @pl.when(i > 0)
     def _():
         hppgp_ref[:, :] = hppgp_ref[:, :] + tile_red
+
+
+def _window_kernel_single(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref,
+                          S_ref, w_ref, wp_ref, hll_ref, u_ref, gl_ref,
+                          hppgp_ref):
+    """Gridless single whole-block variant: this toolchain's remote TPU
+    compiler crashes on ANY gridded pallas_call inside lax.scan (even a
+    trivial doubling kernel — out/r5/probe_pallas_scan.log) while
+    whole-block calls compile, and the flagship window shapes fit one
+    tile (M_pad == TILE). Same math, direct assignment."""
+    hppgp_ref[:, :] = _window_math(
+        cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref, S_ref, w_ref,
+        wp_ref, hll_ref, u_ref, gl_ref)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -304,6 +327,27 @@ def window_factor_blocks(
          jnp.zeros((), dtype)]
     )[None, :]
 
+    out_shapes = (
+        jax.ShapeDtypeStruct((9, M), dtype),    # hll
+        jax.ShapeDtypeStruct((18, M), dtype),   # u
+        jax.ShapeDtypeStruct((3, M), dtype),    # gl
+        jax.ShapeDtypeStruct((43, K), dtype),   # hppgp+cost (accumulated)
+    )
+    if M == TILE:
+        # gridless whole-block call: the ONLY pallas form the remote TPU
+        # compiler accepts inside lax.scan (see _window_kernel_single) —
+        # and the flagship sliding-window shapes always land here.
+        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _window_kernel_single,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vm] * 7,
+            out_specs=(vm, vm, vm, vm),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(cam, posesT.astype(dtype), onehotT.astype(dtype),
+          p_obs.astype(dtype), uvd.astype(dtype), stiffness.astype(dtype),
+          weight.astype(dtype), pose_free.astype(dtype))
+
     grid = (M // TILE,)
 
     def tiled(rows):
@@ -312,12 +356,6 @@ def window_factor_blocks(
     def whole(rows, cols):
         return pl.BlockSpec((rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((9, M), dtype),    # hll
-        jax.ShapeDtypeStruct((18, M), dtype),   # u
-        jax.ShapeDtypeStruct((3, M), dtype),    # gl
-        jax.ShapeDtypeStruct((43, K), dtype),   # hppgp+cost (accumulated)
-    )
     return pl.pallas_call(
         _window_kernel,
         grid=grid,

@@ -122,7 +122,7 @@ def solve_batch(
         c0 = np.broadcast_to(np.eye(6), (K_max, 6, 6)).copy()
         c0[: r.ds.num_states] = r.ds.pose_covars
         cov0.append(c0)
-        cams.append(r.ds.camera.astype(dt))
+        cams.append(r.ds._camera_dt)  # host-pinned dtype-cast (cached)
 
     chain_dtype = np.float64 if jax.config.jax_enable_x64 else dt
     cov_dtype = np.float64 if jax.config.jax_enable_x64 else dt
@@ -144,7 +144,9 @@ def solve_batch(
         batch, jnp.asarray(np.stack(pidx)),
         jnp.asarray(np.stack(poses0), chain_dtype),
         jnp.asarray(np.stack(cov0), cov_dtype),
-        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams),
+        jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])),
+            *cams),
         jnp.asarray([float(r.huber_param) for r in runs], dt),
         jnp.asarray([float(r.az_err_thresh) for r in runs], dt),
         jnp.asarray([float(r.zen_err_thresh) for r in runs], dt),

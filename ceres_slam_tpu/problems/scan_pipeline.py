@@ -477,7 +477,7 @@ def solve_sliding_window_scan(
 
     def run(chunk, poses0, cov0):
         return _run_scan(
-            chunk, point_idx, poses0, cov0, ds.camera.astype(dt),
+            chunk, point_idx, poses0, cov0, ds._camera_dt,
             jnp.asarray(float(huber_param), dt),
             jnp.asarray(float(az_err_thresh), dt),
             jnp.asarray(float(zen_err_thresh), dt),
