@@ -458,3 +458,111 @@ def bilinear_sample_imgs(
         interpret=interpret,
     )(imgs.astype(dtype), u_t, v_t)
     return out[:, :N]
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement matvec kernel for the full-batch PCG path. The XLA
+# gather-table matvec materializes four ~[J, O*18] HBM temps and two row
+# gathers of 18-lane rows per CG iteration — measured ~3.4 ms at XXL
+# (K=1024, J=32k, N=262k) against a ~0.1 ms roofline, and CG dominates
+# the XXL LM iteration (out/r5/profile_xxl_tpu.log). This kernel keeps
+# everything lane-major (J in lanes), streams the hoisted coupling slots
+# once, and does BOTH index translations (gather v by slot pose, reduce
+# contributions by pose) as 0/1 one-hot MXU contractions built in-VMEM
+# from the slot pose indices — no HBM temps, no scattered gathers.
+#   Uy[a, k] = sum_j sum_o onehot[pose(j,o)=k] * (U_slot y_j)[a]
+#   y_j = Cinv_j sum_o U_slot^T v_[pose(j,o)]
+# Gridded pallas_call is fine here: PCG runs in a lax.while_loop (only
+# lax.scan trips the remote-compiler bug, probe_pallas_scan_v2.log).
+# ---------------------------------------------------------------------------
+
+TILE_J = 512
+
+
+def _schur_uy_kernel(UT_ref, poseT_ref, cinvT_ref, vT_ref, out_ref):
+    i = pl.program_id(0)
+    dtype = UT_ref.dtype
+    OL18, TJ = UT_ref.shape
+    O_l = OL18 // 18
+    K = vT_ref.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, TJ), 0)
+
+    def onehot(o):
+        return (iota_k == poseT_ref[o, :][None, :]).astype(dtype)
+
+    # phase 1: gather v per slot (vg_o [6, TJ] = vT [6, K] @ onehot) and
+    # accumulate Utv[c] = sum_o sum_a U[o,a,c] * vg_o[a]
+    vgs = []
+    for o in range(O_l):
+        vg = jnp.dot(vT_ref[:, :], onehot(o), preferred_element_type=dtype,
+                     precision=hi)  # [6, TJ]
+        vgs.append(vg)
+    utv = []
+    for c in range(3):
+        acc = jnp.zeros((TJ,), dtype)
+        for o in range(O_l):
+            for a in range(6):
+                acc = acc + UT_ref[o * 18 + a * 3 + c, :] * vgs[o][a, :]
+        utv.append(acc)
+    # y = Cinv Utv (lane-major 3x3)
+    y = [sum(cinvT_ref[b * 3 + c, :] * utv[c] for c in range(3))
+         for b in range(3)]
+    # phase 2: per-slot contributions U_slot y, reduced by pose via the
+    # transposed one-hot contraction
+    acc_uy = jnp.zeros((8, K), dtype)  # 6 used; 8 sublane-aligned
+    for o in range(O_l):
+        contrib = jnp.stack(
+            [sum(UT_ref[o * 18 + a * 3 + c, :] * y[c] for c in range(3))
+             for a in range(6)] + [jnp.zeros((TJ,), dtype)] * 2, axis=0)
+        acc_uy = acc_uy + jax.lax.dot_general(
+            contrib, onehot(o),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype, precision=hi)  # [8, K]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = acc_uy
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + acc_uy
+
+
+def schur_uy(
+    UT_l: jnp.ndarray,  # [O_l*18, Jp] lane-major hoisted slot couplings
+    pose_of_lT: jnp.ndarray,  # [O_l, Jp] int32 slot pose indices
+    cinvT: jnp.ndarray,  # [9, Jp] lane-major damped inverted landmark diag
+    vT: jnp.ndarray,  # [6, K]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``Uy [6, K] = sum_j U_j Cinv_j U_j^T v`` (the coupling half of the
+    Schur matvec). Jp must be a multiple of TILE_J (pad slots with zero
+    U rows upstream — padded slots contribute nothing regardless of
+    their index entries)."""
+    OL18, Jp = UT_l.shape
+    K = vT.shape[1]
+    assert Jp % TILE_J == 0, f"Jp={Jp} must be a multiple of {TILE_J}"
+    dtype = jnp.float32
+
+    def tiled(rows):
+        return pl.BlockSpec((rows, TILE_J), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _schur_uy_kernel,
+        grid=(Jp // TILE_J,),
+        in_specs=[
+            tiled(OL18),
+            tiled(pose_of_lT.shape[0]),
+            tiled(9),
+            pl.BlockSpec((6, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, K), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, K), dtype),
+        interpret=interpret,
+    )(UT_l.astype(dtype), pose_of_lT, cinvT.astype(dtype),
+      vT.astype(dtype))
+    return out[:6]

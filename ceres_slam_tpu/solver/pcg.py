@@ -262,6 +262,58 @@ def _gather_sum_by_pose(t: ObsTables, per_obs: jnp.ndarray) -> jnp.ndarray:
     return _gather_sum(t.by_pose, t.by_pose_w, per_obs)
 
 
+def _use_matvec_kernel(b: ObsBlocks, t: ObsTables) -> bool:
+    """Gate for the lane-major Pallas matvec kernel: TPU, f32, and the
+    in-VMEM one-hot shapes within budget (K sublanes x TILE_J lanes)."""
+    import os
+
+    if os.environ.get("CSTPU_NO_MATVEC_KERNEL"):
+        return False
+    K = b.Hpp.shape[0]
+    O_l = t.by_point.shape[1]
+    return (jax.devices()[0].platform == "tpu"
+            and b.U18.dtype == jnp.float32
+            and K <= 2048 and O_l * 18 <= 512)
+
+
+def make_schur_matvec_kernel(b: ObsBlocks, t: ObsTables,
+                             interpret: bool = False):
+    """``v -> S v`` via the lane-major Pallas kernel
+    (`ops.pallas_kernels.schur_uy`): the coupling product's gathers in
+    BOTH directions run as in-VMEM one-hot MXU contractions, J in lanes.
+    The XLA gather-table path (below) materializes ~4 x 19 MB HBM temps
+    and two 18-lane row gathers per CG iteration — measured ~3.4 ms at
+    XXL vs a ~0.1 ms roofline; CG dominates the XXL LM iteration
+    (out/r5/profile_xxl_tpu.log). Hoisted work here happens once per LM
+    iteration; per CG iteration only [6, K] vectors move."""
+    from ceres_slam_tpu.ops import pallas_kernels as pk
+
+    dtype = b.U18.dtype
+    J, O_l = t.by_point.shape
+    K = b.Hpp.shape[0]
+    Jp = -(-J // pk.TILE_J) * pk.TILE_J
+
+    def padJ(x, val=0):
+        if Jp == J:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((Jp - J,) + x.shape[1:], val, x.dtype)])
+
+    # hoisted lane-major slot tensors (padding weights folded into U)
+    U_l = (b.U18[t.by_point] * t.by_point_w.astype(dtype)[..., None]
+           ).reshape(J, O_l * 18)
+    UT_l = padJ(U_l).T  # [O_l*18, Jp]
+    pose_of_lT = padJ(b.pose_idx[t.by_point].astype(jnp.int32)).T
+    cinvT = padJ(b.Cinv.reshape(J, 9)).T  # [9, Jp]
+
+    def matvec(v: jnp.ndarray) -> jnp.ndarray:
+        uy = pk.schur_uy(UT_l, pose_of_lT, cinvT, v.T.astype(dtype),
+                         interpret=interpret)
+        return jnp.einsum("kab,kb->ka", b.Hpp, v) - uy.T.astype(v.dtype)
+
+    return matvec
+
+
 def make_schur_matvec_gather(b: ObsBlocks, t: ObsTables):
     """Build ``v -> S v`` with gather-table reductions (no scatters), in
     TPU-tiling-friendly MERGED layouts.
@@ -394,8 +446,12 @@ def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
     With ``tables``, matvecs use gather-table reductions (no scatters)."""
     if precond is None:
         precond = _block_precond(schur_diag_blocks(b, tables))
-    matvec = make_schur_matvec_gather(b, tables) if tables is not None \
-        else (lambda v: schur_matvec(b, v))
+    if tables is not None and _use_matvec_kernel(b, tables):
+        matvec = make_schur_matvec_kernel(b, tables)
+    elif tables is not None:
+        matvec = make_schur_matvec_gather(b, tables)
+    else:
+        matvec = lambda v: schur_matvec(b, v)
 
     r0 = rhs
     z0 = precond(r0)

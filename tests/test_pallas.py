@@ -50,3 +50,32 @@ def test_pallas_matches_xla_blocks():
     assert close(u_p, u, 1e-4)
     assert close(gp_p, gp, 1e-4)
     assert close(gl_p, gl, 1e-4)
+
+
+def test_schur_matvec_kernel_matches_gather():
+    """The lane-major Schur matvec kernel (ops.pallas_kernels.schur_uy,
+    interpret mode) reproduces both the gather-table and the naive
+    segment-sum matvecs on a random BA problem."""
+    import bench
+    from ceres_slam_tpu.solver import pcg
+
+    bench.K, bench.J, bench.N_OBS = 16, 64, 512
+    problem, state = bench.build(jnp.float32)
+    K, J = 16, 64
+    tables = pcg.build_obs_tables(
+        problem.stereo.pose_idx, problem.stereo.point_idx, K, J)
+    b = pcg.build_obs_blocks(problem, state, jnp.asarray(1e-4, jnp.float32),
+                             tables=tables, fused=False)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(K, 6)), jnp.float32)
+
+    sv_gather = pcg.schur_matvec_gather(b, tables, v)
+    sv_naive = pcg.schur_matvec(b, v)
+    mv_kernel = pcg.make_schur_matvec_kernel(b, tables, interpret=True)
+    sv_kernel = mv_kernel(v)
+
+    scale = float(jnp.max(jnp.abs(sv_naive))) + 1.0
+    np.testing.assert_allclose(np.asarray(sv_gather) / scale,
+                               np.asarray(sv_naive) / scale, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sv_kernel) / scale,
+                               np.asarray(sv_naive) / scale, atol=2e-5)
