@@ -476,7 +476,11 @@ def bilinear_sample_imgs(
 # lax.scan trips the remote-compiler bug, probe_pallas_scan_v2.log).
 # ---------------------------------------------------------------------------
 
-TILE_J = 512
+# one lane-width of landmarks per grid step: the kernel keeps O_l
+# one-hot matrices [K, TILE_J] live across the two contraction phases,
+# and 512-lane tiles blew the 16 MB scoped-VMEM budget at K=1024
+# (65 MB requested — r5 chip log); 128 lanes keep the working set ~4 MB.
+TILE_J = 128
 
 
 def _schur_uy_kernel(UT_ref, poseT_ref, cinvT_ref, vT_ref, out_ref):

@@ -138,8 +138,8 @@ def solve_batch(
               f"(stack+upload {nbytes / 1e6:.0f} MB, "
               f"{_time.perf_counter() - _t1:.1f}s)", flush=True)
     _t2 = _time.perf_counter()
-    fused = False
     interpret = jax.devices()[0].platform != "tpu"
+    fused = scan_pipeline._scan_fused(interpret, Mp_max, dt)
     poses_full, summaries, cov_full = scan_pipeline._run_scan_batch(
         batch, jnp.asarray(np.stack(pidx)),
         jnp.asarray(np.stack(poses0), chain_dtype),

@@ -46,6 +46,22 @@ from ceres_slam_tpu.solver import dense
 from ceres_slam_tpu.solver import window as window_mod
 
 
+def _scan_fused(interpret: bool, M_pad: int, dt) -> bool:
+    """Whether the scan's window step uses the fused Pallas factor
+    kernel. History: the r3/r4 TPU compile of scan-of-pallas_call failed
+    in the remote compile helper; r5 isolated the trigger to GRIDDED
+    pallas_call inside lax.scan (any kernel — out/r5/
+    probe_pallas_scan_v2.log) and the single-tile whole-block variant
+    (pallas_kernels._window_kernel_single) now compiles and runs on
+    chip. Measured on triangle200 the fused scan is within noise of the
+    pure-XLA step (the scan already amortizes dispatch latency, which is
+    what the kernel exists to cut), so the default stays XLA; set
+    CSTPU_SCAN_FUSED=1 to enable where the factor pass dominates."""
+    if interpret or M_pad != 512 or jnp.dtype(dt) != jnp.float32:
+        return False
+    return os.environ.get("CSTPU_SCAN_FUSED") == "1"
+
+
 class ScanReplicationError(RuntimeError):
     """The scan precompute's init-structure replication diverged from
     `compute_initial_guess`. Callers degrade to the host per-window loop
@@ -444,18 +460,8 @@ def solve_sliding_window_scan(
     if progress:
         print(f"  scan pass: {W} windows, O={O}, M_pad={M_pad} "
               f"(precompute {_time.perf_counter() - _t0:.1f}s)", flush=True)
-    # fused=False: the Pallas mega-kernel exists to cut per-dispatch
-    # latency, which the scan already eliminates. Status (r4, measured):
-    # the kernel TRACES and runs inside the scan in interpret mode
-    # (tests/test_scan_pipeline.py::test_scan_fused_kernel_matches_xla —
-    # the r3 "Mosaic fails to lower" was partly a dtype bug, since fixed)
-    # but the REAL TPU compile of scan-of-pallas_call still fails in the
-    # remote compile helper (out/r4/fused_scan_tpu.log). The pure-XLA
-    # window step needs no rescue here: 199 windows solve in 3.0 s on
-    # chip (15 ms/window, full dogleg + covariance), so the kernel stays
-    # a host-per-window-path optimization.
-    fused = False
     interpret = jax.devices()[0].platform != "tpu"
+    fused = _scan_fused(interpret, M_pad, dt)
     cov_dtype = (jnp.float64 if jax.config.jax_enable_x64
                  else jnp.asarray(0.0, dt).dtype)
     chain_dtype = jnp.float64 if jax.config.jax_enable_x64 else dt
