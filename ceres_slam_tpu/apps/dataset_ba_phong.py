@@ -60,7 +60,12 @@ def main(argv=None):
         window=args.window,
         use_light=not args.nolight,
         multistage=args.multistage,
-        config=SolveConfig(max_iters=args.max_iters,
+        # ftol = Ceres' default function_tolerance (1e-6), which the
+        # reference never overrides (dataset_ba_phong.cpp:79-91). The
+        # framework-default 1e-9 is below f32 cost resolution, so f32
+        # runs burned ~3x the iterations grinding a flat plateau
+        # (38 vs 8 on the r5 chip record) for identical final cost/ATE.
+        config=SolveConfig(max_iters=args.max_iters, ftol=1e-6,
                            record_history=args.report == "full"),
         linear_solver=args.linear_solver,
     )
