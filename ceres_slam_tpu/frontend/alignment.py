@@ -69,6 +69,65 @@ def umeyama(
     return lie.se3_make(t, C).astype(out_dtype)
 
 
+def _fit_3pt_lanes(h0: jnp.ndarray, h1: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form rigid fit of the 3-point minimal sets, fully
+    lane-major ELEMENTWISE in the input dtype: ``h0/h1 [H, 3, 3] ->
+    T_1_0 [H, 12]``.
+
+    Replaces the `umeyama` call on the hypothesis path. Two reasons:
+
+    - The general `umeyama` promotes to f64, and TPU f64 is emulated —
+      the 400-hypothesis fit chain compiled to ~88 MB of per-op
+      emulation code (95k source refs, r5 recon), which at the relay's
+      ~2 MB/s per-process executable upload was most of the RANSAC
+      program's wall cost. A 3-point fit in f32 loses nothing the
+      inlier test can see (threshold 4 px^2 vs ~1e-4 px fit noise).
+    - Everything here is ELEMENTWISE (explicit 3-term sums, no
+      einsum/dot), so TPU and CPU execute identical IEEE f32 ops and
+      the fits are bit-identical across backends — the property the r4
+      post-mortem established for the pipeline (BASELINE.md).
+
+    Set CSTPU_RANSAC_F64=1 to restore the f64 promoted fit.
+    """
+    import os
+
+    if os.environ.get("CSTPU_RANSAC_F64"):
+        return umeyama(h0, h1)
+    third = 1.0 / 3.0
+    p0 = [[h0[..., n, i] for i in range(3)] for n in range(3)]
+    p1 = [[h1[..., n, i] for i in range(3)] for n in range(3)]
+    c0 = [(p0[0][i] + p0[1][i] + p0[2][i]) * third for i in range(3)]
+    c1 = [(p1[0][i] + p1[1][i] + p1[2][i]) * third for i in range(3)]
+    d0 = [[p0[n][i] - c0[i] for i in range(3)] for n in range(3)]
+    d1 = [[p1[n][i] - c1[i] for i in range(3)] for n in range(3)]
+    # W[i][j] = sum_n d1[n][i] d0[n][j] / 3  (cross-covariance)
+    W = [[(d1[0][i] * d0[0][j] + d1[1][i] * d0[1][j]
+           + d1[2][i] * d0[2][j]) * third for j in range(3)]
+         for i in range(3)]
+    # Horn profile matrix of M = W^T: m(i, j) = W[j][i]
+    m = lambda i, j: W[j][i]
+    tr = m(0, 0) + m(1, 1) + m(2, 2)
+    N4 = [
+        [tr, m(1, 2) - m(2, 1), m(2, 0) - m(0, 2), m(0, 1) - m(1, 0)],
+        [m(1, 2) - m(2, 1), m(0, 0) - m(1, 1) - m(2, 2),
+         m(0, 1) + m(1, 0), m(2, 0) + m(0, 2)],
+        [m(2, 0) - m(0, 2), m(0, 1) + m(1, 0),
+         m(1, 1) - m(0, 0) - m(2, 2), m(1, 2) + m(2, 1)],
+        [m(0, 1) - m(1, 0), m(2, 0) + m(0, 2),
+         m(1, 2) + m(2, 1), m(2, 2) - m(0, 0) - m(1, 1)],
+    ]
+    w, x, y, z = lie._max_eigvec4_lanes(N4)
+    R = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ]
+    t = [c1[i] - (R[i][0] * c0[0] + R[i][1] * c0[1] + R[i][2] * c0[2])
+         for i in range(3)]
+    return jnp.stack(t + [R[i][j] for i in range(3) for j in range(3)],
+                     axis=-1)
+
+
 class RansacResult(NamedTuple):
     T_1_0: jnp.ndarray  # [12] best transformation
     inliers: jnp.ndarray  # [N] bool mask of inliers of the best hypothesis
@@ -106,8 +165,12 @@ def ransac_align(
     # 18 MB RANSAC executable — at the relay's ~2 MB/s per-process
     # upload, executable bytes are wall time (r5 recon).
     logits = jnp.where(valid, 0.0, -jnp.inf)
+    # gumbel draws are ALWAYS f32: the sample values differ between f32
+    # and f64 draws, and hypothesis selection must be identical across
+    # the f32 (TPU) and f64 (CPU reference) pipelines for them to be
+    # comparable to 4 decimals
     scores = logits[None, :] + jax.random.gumbel(
-        key, (num_iters, N), dtype=dtype)
+        key, (num_iters, N), dtype=jnp.float32).astype(dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (num_iters, N), 1)
     picks = []
     for _ in range(3):
@@ -119,8 +182,8 @@ def ransac_align(
     h0 = pts_0[idx]  # [H, 3, 3]
     h1 = pts_1[idx]
 
-    # --- minimal solver, vmapped over hypotheses --------------------------
-    T_h = umeyama(h0, h1)  # [H, 12]
+    # --- minimal solver, lane-major over hypotheses -----------------------
+    T_h = _fit_3pt_lanes(h0, h1)  # [H, 12]
 
     # --- score all hypotheses against all points --------------------------
     R_h = lie.se3_rot(T_h)  # [H, 3, 3]

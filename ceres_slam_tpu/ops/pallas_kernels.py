@@ -484,6 +484,10 @@ TILE_J = 128
 
 
 def _schur_uy_kernel(UT_ref, poseT_ref, cinvT_ref, vT_ref, out_ref):
+    # ONE combined one-hot [K, O_l*TJ] (all slots of the tile as lanes)
+    # and exactly two MXU contractions against it — per-slot one-hots
+    # stayed live across the two phases and blew the 16 MB scoped-VMEM
+    # budget at K=1024 (r5 chip logs, 65 MB then 16.9 MB requested).
     i = pl.program_id(0)
     dtype = UT_ref.dtype
     OL18, TJ = UT_ref.shape
@@ -491,39 +495,43 @@ def _schur_uy_kernel(UT_ref, poseT_ref, cinvT_ref, vT_ref, out_ref):
     K = vT_ref.shape[1]
     hi = jax.lax.Precision.HIGHEST
 
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, TJ), 0)
+    lanes = O_l * TJ
+    # slot lane = o*TJ + j (lane-concat, not a sublane->lane reshape —
+    # Mosaic relayouts of that form are unsupported/slow)
+    pose_flat = jnp.concatenate(
+        [poseT_ref[o, :] for o in range(O_l)], axis=0)[None, :]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, lanes), 0)
+    onehot = (iota_k == pose_flat).astype(dtype)  # [K, O_l*TJ]
 
-    def onehot(o):
-        return (iota_k == poseT_ref[o, :][None, :]).astype(dtype)
-
-    # phase 1: gather v per slot (vg_o [6, TJ] = vT [6, K] @ onehot) and
-    # accumulate Utv[c] = sum_o sum_a U[o,a,c] * vg_o[a]
-    vgs = []
-    for o in range(O_l):
-        vg = jnp.dot(vT_ref[:, :], onehot(o), preferred_element_type=dtype,
-                     precision=hi)  # [6, TJ]
-        vgs.append(vg)
+    # phase 1: gather v for every slot in one dot, then per-o slices
+    vg = jnp.dot(vT_ref[:, :], onehot, preferred_element_type=dtype,
+                 precision=hi)  # [6, O_l*TJ]
     utv = []
     for c in range(3):
         acc = jnp.zeros((TJ,), dtype)
         for o in range(O_l):
             for a in range(6):
-                acc = acc + UT_ref[o * 18 + a * 3 + c, :] * vgs[o][a, :]
+                acc = acc + (UT_ref[o * 18 + a * 3 + c, :]
+                             * vg[a, o * TJ:(o + 1) * TJ])
         utv.append(acc)
     # y = Cinv Utv (lane-major 3x3)
     y = [sum(cinvT_ref[b * 3 + c, :] * utv[c] for c in range(3))
          for b in range(3)]
-    # phase 2: per-slot contributions U_slot y, reduced by pose via the
-    # transposed one-hot contraction
-    acc_uy = jnp.zeros((8, K), dtype)  # 6 used; 8 sublane-aligned
-    for o in range(O_l):
-        contrib = jnp.stack(
+    # phase 2: all slot contributions [8, O_l*TJ], reduced by pose via
+    # the transposed one-hot contraction (one dot)
+    zeros = jnp.zeros((TJ,), dtype)
+    rows = []
+    for a in range(6):
+        rows.append(jnp.concatenate(
             [sum(UT_ref[o * 18 + a * 3 + c, :] * y[c] for c in range(3))
-             for a in range(6)] + [jnp.zeros((TJ,), dtype)] * 2, axis=0)
-        acc_uy = acc_uy + jax.lax.dot_general(
-            contrib, onehot(o),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=dtype, precision=hi)  # [8, K]
+             for o in range(O_l)], axis=0))
+    rows.append(jnp.concatenate([zeros] * O_l, axis=0))
+    rows.append(rows[-1])
+    contrib = jnp.stack(rows, axis=0)  # [8, O_l*TJ]
+    acc_uy = jax.lax.dot_general(
+        contrib, onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=hi)  # [8, K]
 
     @pl.when(i == 0)
     def _():

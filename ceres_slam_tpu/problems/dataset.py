@@ -223,8 +223,14 @@ class DatasetProblem:
         _t0 = _time.perf_counter()
         K = self.num_states
         P = self._match_pad
-        pts0 = np.zeros((K, P, 3))
-        pts1 = np.zeros((K, P, 3))
+        # RANSAC runs in the dataset's SOLVE dtype: under x64 the f64
+        # numpy inputs silently made the whole 400-hypothesis program
+        # emulated-f64 on TPU — most of its executable size and cold
+        # compile cost (r5 recon). f32 pipelines use f32 RANSAC (fit
+        # noise ~1e-6 relative vs the 4 px^2 inlier threshold); the f64
+        # CPU reference path is unchanged.
+        pts0 = np.zeros((K, P, 3), self._dt)
+        pts1 = np.zeros((K, P, 3), self._dt)
         valid = np.zeros((K, P), bool)
         counts = np.zeros(K, np.int64)
         for k in range(1, K):
