@@ -483,63 +483,58 @@ def bilinear_sample_imgs(
 TILE_J = 128
 
 
-def _schur_uy_kernel(UT_ref, poseT_ref, cinvT_ref, vT_ref, out_ref):
-    # ONE combined one-hot [K, O_l*TJ] (all slots of the tile as lanes)
-    # and exactly two MXU contractions against it — per-slot one-hots
-    # stayed live across the two phases and blew the 16 MB scoped-VMEM
-    # budget at K=1024 (r5 chip logs, 65 MB then 16.9 MB requested).
-    i = pl.program_id(0)
+def _uy_phase1_kernel(UT_ref, pose_ref, vT_ref, utv_ref):
+    # grid (j_tiles, O_l): one slot-row block per step, ONE one-hot live
+    # at a time (the all-slots-at-once variants exceeded the 16 MB
+    # scoped-VMEM budget, and Mosaic cannot lane-concatenate 1-D
+    # vectors to merge slot one-hots — r5 chip logs)
+    o = pl.program_id(1)
     dtype = UT_ref.dtype
-    OL18, TJ = UT_ref.shape
-    O_l = OL18 // 18
+    TJ = UT_ref.shape[1]
     K = vT_ref.shape[1]
     hi = jax.lax.Precision.HIGHEST
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, TJ), 0)
+    oh = (iota_k == pose_ref[0, :][None, :]).astype(dtype)
+    vg = jnp.dot(vT_ref[:, :], oh, preferred_element_type=dtype,
+                 precision=hi)  # [6, TJ]
+    zero = jnp.zeros((TJ,), dtype)
+    part = jnp.stack(
+        [sum(UT_ref[a * 3 + c, :] * vg[a, :] for a in range(6))
+         for c in range(3)] + [zero] * 5, axis=0)  # [8, TJ]
 
-    lanes = O_l * TJ
-    # slot lane = o*TJ + j (lane-concat, not a sublane->lane reshape —
-    # Mosaic relayouts of that form are unsupported/slow)
-    pose_flat = jnp.concatenate(
-        [poseT_ref[o, :] for o in range(O_l)], axis=0)[None, :]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, lanes), 0)
-    onehot = (iota_k == pose_flat).astype(dtype)  # [K, O_l*TJ]
+    @pl.when(o == 0)
+    def _():
+        utv_ref[:, :] = part
 
-    # phase 1: gather v for every slot in one dot, then per-o slices
-    vg = jnp.dot(vT_ref[:, :], onehot, preferred_element_type=dtype,
-                 precision=hi)  # [6, O_l*TJ]
-    utv = []
-    for c in range(3):
-        acc = jnp.zeros((TJ,), dtype)
-        for o in range(O_l):
-            for a in range(6):
-                acc = acc + (UT_ref[o * 18 + a * 3 + c, :]
-                             * vg[a, o * TJ:(o + 1) * TJ])
-        utv.append(acc)
-    # y = Cinv Utv (lane-major 3x3)
-    y = [sum(cinvT_ref[b * 3 + c, :] * utv[c] for c in range(3))
-         for b in range(3)]
-    # phase 2: all slot contributions [8, O_l*TJ], reduced by pose via
-    # the transposed one-hot contraction (one dot)
-    zeros = jnp.zeros((TJ,), dtype)
-    rows = []
-    for a in range(6):
-        rows.append(jnp.concatenate(
-            [sum(UT_ref[o * 18 + a * 3 + c, :] * y[c] for c in range(3))
-             for o in range(O_l)], axis=0))
-    rows.append(jnp.concatenate([zeros] * O_l, axis=0))
-    rows.append(rows[-1])
-    contrib = jnp.stack(rows, axis=0)  # [8, O_l*TJ]
-    acc_uy = jax.lax.dot_general(
-        contrib, onehot,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+    @pl.when(o > 0)
+    def _():
+        utv_ref[:, :] = utv_ref[:, :] + part
+
+
+def _uy_phase2_kernel(UT_ref, pose_ref, yT_ref, out_ref):
+    i = pl.program_id(0)
+    o = pl.program_id(1)
+    dtype = UT_ref.dtype
+    TJ = UT_ref.shape[1]
+    K = out_ref.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, TJ), 0)
+    oh = (iota_k == pose_ref[0, :][None, :]).astype(dtype)
+    zero = jnp.zeros((TJ,), dtype)
+    contrib = jnp.stack(
+        [sum(UT_ref[a * 3 + c, :] * yT_ref[c, :] for c in range(3))
+         for a in range(6)] + [zero] * 2, axis=0)  # [8, TJ]
+    acc = jax.lax.dot_general(
+        contrib, oh, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=dtype, precision=hi)  # [8, K]
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (o == 0))
     def _():
-        out_ref[:, :] = acc_uy
+        out_ref[:, :] = acc
 
-    @pl.when(i > 0)
+    @pl.when((i > 0) | (o > 0))
     def _():
-        out_ref[:, :] = out_ref[:, :] + acc_uy
+        out_ref[:, :] = out_ref[:, :] + acc
 
 
 def schur_uy(
@@ -550,31 +545,56 @@ def schur_uy(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``Uy [6, K] = sum_j U_j Cinv_j U_j^T v`` (the coupling half of the
-    Schur matvec). Jp must be a multiple of TILE_J (pad slots with zero
-    U rows upstream — padded slots contribute nothing regardless of
-    their index entries)."""
+    Schur matvec), as two gridded kernels over (landmark tile, slot)
+    with a tiny lane-major XLA step (y = Cinv Utv) between. Jp must be
+    a multiple of TILE_J (pad slots with zero U rows upstream — padded
+    slots contribute nothing regardless of their index entries)."""
     OL18, Jp = UT_l.shape
+    O_l = OL18 // 18
     K = vT.shape[1]
     assert Jp % TILE_J == 0, f"Jp={Jp} must be a multiple of {TILE_J}"
     dtype = jnp.float32
+    UT_l = UT_l.astype(dtype)
+    grid = (Jp // TILE_J, O_l)
 
-    def tiled(rows):
-        return pl.BlockSpec((rows, TILE_J), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    utv = pl.pallas_call(
+        _uy_phase1_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((18, TILE_J), lambda i, o: (o, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_J), lambda i, o: (o, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, K), lambda i, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE_J), lambda i, o: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Jp), dtype),
+        interpret=interpret,
+    )(UT_l, pose_of_lT, vT.astype(dtype))
+
+    # y = Cinv Utv, lane-major elementwise (XLA fuses this)
+    c = cinvT.astype(dtype)
+    yT = jnp.stack(
+        [sum(c[b * 3 + cc, :] * utv[cc, :] for cc in range(3))
+         for b in range(3)]
+        + [jnp.zeros((Jp,), dtype)] * 5, axis=0)  # [8, Jp]
 
     out = pl.pallas_call(
-        _schur_uy_kernel,
-        grid=(Jp // TILE_J,),
+        _uy_phase2_kernel,
+        grid=grid,
         in_specs=[
-            tiled(OL18),
-            tiled(pose_of_lT.shape[0]),
-            tiled(9),
-            pl.BlockSpec((6, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, TILE_J), lambda i, o: (o, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_J), lambda i, o: (o, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_J), lambda i, o: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, K), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((8, K), lambda i, o: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, K), dtype),
         interpret=interpret,
-    )(UT_l.astype(dtype), pose_of_lT, cinvT.astype(dtype),
-      vT.astype(dtype))
+    )(UT_l, pose_of_lT, yT)
     return out[:6]

@@ -31,6 +31,56 @@ from ceres_slam_tpu.solver import window as window_mod
 from ceres_slam_tpu.utils import csvio, se3np
 
 
+def run_batched_ransac(camera, pts0, pts1, valid, rng_seed: int,
+                       ransac_iters: int, ransac_thresh: float,
+                       chunk: int = 64):
+    """Chunk-vmapped RANSAC over all consecutive frame pairs (shared by
+    the stereo and Phong datasets). ``pts0/pts1 [K, P, 3]`` carry pair
+    k's matched camera-frame points (row 0 unused); returns numpy
+    ``(T [K, 12], inliers [K, P], num_inliers [K])``. Per-pair PRNG key
+    = PRNGKey(rng_seed + k), so results are bit-identical to K-1
+    individual `ransac_align` calls. Chunks are padded to one static
+    shape (a second shape means a second multi-second remote compile)."""
+    from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
+
+    K, P = valid.shape
+    vmapped = jax.jit(
+        jax.vmap(
+            lambda a, b, v, key: alignment.ransac_align(
+                camera, a, b, v, key,
+                num_iters=ransac_iters, thresh=ransac_thresh,
+            )
+        )
+    )
+    # key construction + chunk padding are eager host work (each eager
+    # op on the relay is a program upload + ~30 ms round trip)
+    with host_cpu_ctx():
+        keys = jax.vmap(jax.random.PRNGKey)(rng_seed + jnp.arange(K))
+    pair_T = np.zeros((K, 12))
+    pair_inliers = np.zeros((K, P), bool)
+    pair_num = np.zeros(K, np.int64)
+    for s in range(1, K, chunk):
+        e = min(s + chunk, K)
+        n = e - s
+
+        def padc(x):
+            if n == chunk:
+                return jnp.asarray(x[s:e])
+            buf = np.zeros((chunk,) + x.shape[1:], x.dtype)
+            buf[:n] = x[s:e]
+            return jnp.asarray(buf)
+
+        with host_cpu_ctx():
+            kpad = keys[s:e] if n == chunk else jnp.concatenate(
+                [keys[s:e],
+                 jnp.broadcast_to(keys[s], (chunk - n,) + keys.shape[1:])])
+        res = vmapped(padc(pts0), padc(pts1), padc(valid), kpad)
+        pair_T[s:e] = np.asarray(res.T_1_0)[:n]
+        pair_inliers[s:e] = np.asarray(res.inliers)[:n]
+        pair_num[s:e] = np.asarray(res.num_inliers)[:n]
+    return pair_T, pair_inliers, pair_num
+
+
 def _round_up(n: int, m: int = 64) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
@@ -241,47 +291,11 @@ class DatasetProblem:
             pts1[k, :M] = self._pts_c[idx_b]
             valid[k, :M] = True
 
-        from ceres_slam_tpu.utils.hostdev import host_cpu_ctx
-
-        vmapped = jax.jit(
-            jax.vmap(
-                lambda a, b, v, key: alignment.ransac_align(
-                    self.camera, a, b, v, key,
-                    num_iters=self.ransac_iters, thresh=self.ransac_thresh,
-                )
-            )
-        )
-        # key construction + chunk padding are eager host work (each
-        # eager op on the relay is a program upload + ~30 ms round trip)
-        with host_cpu_ctx():
-            keys = jax.vmap(jax.random.PRNGKey)(
-                self.rng_seed + jnp.arange(K))
-        self._pair_T = np.zeros((K, 12))
-        self._pair_inliers = np.zeros((K, P), bool)
-        self._pair_num_inliers = np.zeros(K, np.int64)
         _t1 = _time.perf_counter()
-        for s in range(1, K, chunk):
-            e = min(s + chunk, K)
-            n = e - s
-            # pad the (short) last chunk to the full chunk size: a second
-            # shape means a second multi-10-second remote compile of the
-            # vmapped 400-hypothesis RANSAC
-            def padc(x):
-                if n == chunk:
-                    return jnp.asarray(x[s:e])
-                buf = np.zeros((chunk,) + x.shape[1:], x.dtype)
-                buf[:n] = x[s:e]
-                return jnp.asarray(buf)
-
-            with host_cpu_ctx():
-                kpad = keys[s:e] if n == chunk else jnp.concatenate(
-                    [keys[s:e],
-                     jnp.broadcast_to(keys[s],
-                                      (chunk - n,) + keys.shape[1:])])
-            res = vmapped(padc(pts0), padc(pts1), padc(valid), kpad)
-            self._pair_T[s:e] = np.asarray(res.T_1_0)[:n]
-            self._pair_inliers[s:e] = np.asarray(res.inliers)[:n]
-            self._pair_num_inliers[s:e] = np.asarray(res.num_inliers)[:n]
+        self._pair_T, self._pair_inliers, self._pair_num_inliers = \
+            run_batched_ransac(
+                self.camera, pts0, pts1, valid, self.rng_seed,
+                self.ransac_iters, self.ransac_thresh, chunk)
         if os.environ.get("CSTPU_TIMING"):
             print(f"  pair alignments: match-gather {_t1 - _t0:.1f}s, "
                   f"ransac {_time.perf_counter() - _t1:.1f}s "

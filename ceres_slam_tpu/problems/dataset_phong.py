@@ -11,11 +11,9 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ceres_slam_tpu.frontend import alignment
 from ceres_slam_tpu.models.stereo_camera import StereoCamera
 from ceres_slam_tpu.ops import lie
 from ceres_slam_tpu.problems.dataset import _round_up
@@ -142,9 +140,44 @@ class DatasetProblemPhong:
 
     # -- initial guess (dataset_problem_phong.cpp:251-391) ----------------
 
+    def precompute_pair_alignments(self, chunk: int = 64):
+        """Batched RANSAC for all consecutive frame pairs (the stereo
+        dataset's treatment, problems/dataset.py): K-1 sequential
+        `ransac_align` dispatches cost ~60 ms relay latency EACH — the
+        sequential initial-guess loop dominated the Phong app's chip
+        wall (r5: 48 s app vs <1 s solver). Idempotent."""
+        if getattr(self, "_pair_T", None) is not None:
+            return
+        from ceres_slam_tpu.problems.dataset import run_batched_ransac
+
+        K = self.num_states
+        P = self._match_pad
+        dt = jnp.dtype(self.dtype)
+        pts0 = np.zeros((K, P, 3), dt)
+        pts1 = np.zeros((K, P, 3), dt)
+        valid = np.zeros((K, P), bool)
+        for k in range(1, K):
+            idx_a, idx_b = self._pair_match(k)
+            M_ = idx_a.size
+            pts0[k, :M_] = self._pts_c[idx_a]
+            pts1[k, :M_] = self._pts_c[idx_b]
+            valid[k, :M_] = True
+        self._pair_T, self._pair_inliers, _ = run_batched_ransac(
+            self.camera, pts0, pts1, valid, self.rng_seed,
+            self.ransac_iters, self.ransac_thresh, chunk)
+
+    def _pair_match(self, k: int):
+        idx_a = self._state_obs[k - 1]
+        idx_b = self._state_obs[k]
+        _, ia, ib = np.intersect1d(
+            self.vertex_ids[idx_a], self.vertex_ids[idx_b],
+            return_indices=True)
+        return idx_a[ia], idx_b[ib]
+
     def compute_initial_guess(self, k1: int = 0, k2: int = 0):
         if k1 >= k2:
             k1, k2 = 0, self.num_states
+        self.precompute_pair_alignments()
 
         # Material init: phong = (0,0,1); texture = median observed
         # intensity over the material's observations (:266-278).
@@ -156,12 +189,7 @@ class DatasetProblemPhong:
                 self.textures[m] = np.partition(ints, half)[half]
 
         for k in range(k1 + 1, k2):
-            idx_a = self._state_obs[k - 1]
-            idx_b = self._state_obs[k]
-            _, ia, ib = np.intersect1d(
-                self.vertex_ids[idx_a], self.vertex_ids[idx_b], return_indices=True
-            )
-            idx_a, idx_b = idx_a[ia], idx_b[ib]
+            idx_a, idx_b = self._pair_match(k)
             M_ = idx_a.size
             if M_ < 3:
                 # Degenerate pair: carry the previous pose forward (the
@@ -169,24 +197,8 @@ class DatasetProblemPhong:
                 # rather than leaving the default identity.
                 self.poses[k] = self.poses[k - 1]
                 continue
-            P = self._match_pad
-            pts0 = np.zeros((P, 3))
-            pts1 = np.zeros((P, 3))
-            pts0[:M_] = self._pts_c[idx_a]
-            pts1[:M_] = self._pts_c[idx_b]
-            valid = np.zeros(P, bool)
-            valid[:M_] = True
-            res = alignment.ransac_align(
-                self.camera,
-                jnp.asarray(pts0),
-                jnp.asarray(pts1),
-                jnp.asarray(valid),
-                jax.random.PRNGKey(self.rng_seed + k),
-                num_iters=self.ransac_iters,
-                thresh=self.ransac_thresh,
-            )
-            self.poses[k] = se3np.compose(np.asarray(res.T_1_0), self.poses[k - 1])
-            inl = np.asarray(res.inliers)[:M_]
+            self.poses[k] = se3np.compose(self._pair_T[k], self.poses[k - 1])
+            inl = self._pair_inliers[k, :M_]
             jj = self.vertex_ids[idx_a[inl]]
             new = ~self.initialized_vertex[jj]
             if np.any(new):
