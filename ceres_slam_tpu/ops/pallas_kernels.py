@@ -487,7 +487,8 @@ def _uy_phase1_kernel(UT_ref, pose_ref, vT_ref, utv_ref):
     # grid (j_tiles, O_l): one slot-row block per step, ONE one-hot live
     # at a time (the all-slots-at-once variants exceeded the 16 MB
     # scoped-VMEM budget, and Mosaic cannot lane-concatenate 1-D
-    # vectors to merge slot one-hots — r5 chip logs)
+    # vectors to merge slot one-hots — r5 chip logs). Blocks are
+    # 24/8-row slot panels: sublane sizes must divide by 8.
     o = pl.program_id(1)
     dtype = UT_ref.dtype
     TJ = UT_ref.shape[1]
@@ -548,22 +549,53 @@ def schur_uy(
     Schur matvec), as two gridded kernels over (landmark tile, slot)
     with a tiny lane-major XLA step (y = Cinv Utv) between. Jp must be
     a multiple of TILE_J (pad slots with zero U rows upstream — padded
-    slots contribute nothing regardless of their index entries)."""
+    slots contribute nothing regardless of their index entries).
+
+    Slot panels are repacked to sublane-divisible row counts (24 U rows
+    and 8 index rows per slot) because Pallas block sublane sizes must
+    divide by 8; callers should cache the repacked forms via
+    `pack_schur_uy_inputs` (once per LM iteration)."""
+    UT24, pose8 = pack_schur_uy_inputs(UT_l, pose_of_lT)
+    return schur_uy_packed(UT24, pose8, cinvT, vT, interpret=interpret)
+
+
+def pack_schur_uy_inputs(UT_l: jnp.ndarray, pose_of_lT: jnp.ndarray):
+    """Repack [O*18, Jp] couplings / [O, Jp] indices into 24- and 8-row
+    slot panels (zero-padded) for `schur_uy_packed`."""
     OL18, Jp = UT_l.shape
     O_l = OL18 // 18
+    dtype = jnp.float32
+    U3 = UT_l.astype(dtype).reshape(O_l, 18, Jp)
+    UT24 = jnp.concatenate(
+        [U3, jnp.zeros((O_l, 6, Jp), dtype)], axis=1).reshape(O_l * 24, Jp)
+    pose8 = jnp.concatenate(
+        [pose_of_lT[:, None, :],
+         jnp.zeros((O_l, 7, Jp), pose_of_lT.dtype)],
+        axis=1).reshape(O_l * 8, Jp)
+    return UT24, pose8
+
+
+def schur_uy_packed(
+    UT24: jnp.ndarray,  # [O_l*24, Jp]
+    pose8: jnp.ndarray,  # [O_l*8, Jp] int32 (row o*8 carries the index)
+    cinvT: jnp.ndarray,  # [9, Jp]
+    vT: jnp.ndarray,  # [6, K]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    O_l = UT24.shape[0] // 24
+    Jp = UT24.shape[1]
     K = vT.shape[1]
     assert Jp % TILE_J == 0, f"Jp={Jp} must be a multiple of {TILE_J}"
     dtype = jnp.float32
-    UT_l = UT_l.astype(dtype)
     grid = (Jp // TILE_J, O_l)
 
     utv = pl.pallas_call(
         _uy_phase1_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((18, TILE_J), lambda i, o: (o, i),
+            pl.BlockSpec((24, TILE_J), lambda i, o: (o, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_J), lambda i, o: (o, i),
+            pl.BlockSpec((8, TILE_J), lambda i, o: (o, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, K), lambda i, o: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -572,7 +604,7 @@ def schur_uy(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Jp), dtype),
         interpret=interpret,
-    )(UT_l, pose_of_lT, vT.astype(dtype))
+    )(UT24, pose8, vT.astype(dtype))
 
     # y = Cinv Utv, lane-major elementwise (XLA fuses this)
     c = cinvT.astype(dtype)
@@ -585,9 +617,9 @@ def schur_uy(
         _uy_phase2_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((18, TILE_J), lambda i, o: (o, i),
+            pl.BlockSpec((24, TILE_J), lambda i, o: (o, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_J), lambda i, o: (o, i),
+            pl.BlockSpec((8, TILE_J), lambda i, o: (o, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE_J), lambda i, o: (0, i),
                          memory_space=pltpu.VMEM),
@@ -596,5 +628,5 @@ def schur_uy(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, K), dtype),
         interpret=interpret,
-    )(UT_l, pose_of_lT, yT)
+    )(UT24, pose8, yT)
     return out[:6]

@@ -304,16 +304,18 @@ def make_schur_matvec_kernel(b: ObsBlocks, t: ObsTables,
         return jnp.concatenate(
             [x, jnp.full((Jp - J,) + x.shape[1:], val, x.dtype)])
 
-    # hoisted lane-major slot tensors (padding weights folded into U)
+    # hoisted lane-major slot tensors (padding weights folded into U),
+    # repacked ONCE into the kernel's sublane-divisible panels
     U_l = (b.U18[t.by_point] * t.by_point_w.astype(dtype)[..., None]
            ).reshape(J, O_l * 18)
     UT_l = padJ(U_l).T  # [O_l*18, Jp]
     pose_of_lT = padJ(b.pose_idx[t.by_point].astype(jnp.int32)).T
     cinvT = padJ(b.Cinv.reshape(J, 9)).T  # [9, Jp]
+    UT24, pose8 = pk.pack_schur_uy_inputs(UT_l, pose_of_lT)
 
     def matvec(v: jnp.ndarray) -> jnp.ndarray:
-        uy = pk.schur_uy(UT_l, pose_of_lT, cinvT, v.T.astype(dtype),
-                         interpret=interpret)
+        uy = pk.schur_uy_packed(UT24, pose8, cinvT, v.T.astype(dtype),
+                                interpret=interpret)
         return jnp.einsum("kab,kb->ka", b.Hpp, v) - uy.T.astype(v.dtype)
 
     return matvec
