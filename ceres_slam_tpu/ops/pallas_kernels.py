@@ -476,11 +476,12 @@ def bilinear_sample_imgs(
 # lax.scan trips the remote-compiler bug, probe_pallas_scan_v2.log).
 # ---------------------------------------------------------------------------
 
-# one lane-width of landmarks per grid step: the kernel keeps O_l
-# one-hot matrices [K, TILE_J] live across the two contraction phases,
-# and 512-lane tiles blew the 16 MB scoped-VMEM budget at K=1024
-# (65 MB requested — r5 chip log); 128 lanes keep the working set ~4 MB.
-TILE_J = 128
+# landmarks per grid step of the matvec kernels. Each (j-tile, slot)
+# step keeps exactly ONE one-hot [K, TILE_J] + iota live (~8 MB at
+# K=1024, TILE_J=512, against the 16 MB scoped-VMEM budget); 128-lane
+# tiles fit too but quadruple the grid-step count, and per-step overhead
+# dominated the measured matvec (4096 steps ~ 4 ms, r5 profile v6).
+TILE_J = 512
 
 
 def _uy_phase1_kernel(UT_ref, pose_ref, vT_ref, utv_ref):
