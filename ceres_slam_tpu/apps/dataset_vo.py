@@ -42,7 +42,11 @@ def main(argv=None):
     # (tests/dataset_vo.cpp:69-72 — DOGLEG is commented out there)
     summaries = dataset.solve_full(
         window=args.window,
+        # precision-matched tolerances (see dataset_vo_sun): Ceres'
+        # default function_tolerance for f64, one decade looser for f32
         config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                           ftol=(1e-6 if args.dtype == "float64" else 1e-5),
+                           xtol=(1e-6 if args.dtype == "float64" else 1e-5),
                            record_history=args.report == "full"),
         linear_solver=args.linear_solver,
     )

@@ -69,8 +69,16 @@ def main(argv=None):
 
     az_thresh = args.az_err_thresh * math.pi / 180.0
     zen_thresh = args.zen_err_thresh * math.pi / 180.0
-    # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141)
+    # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141).
+    # Tolerances are precision-matched: f64 uses Ceres' default
+    # function_tolerance (1e-6 — the reference never overrides it); f32
+    # uses 1e-5, the same distance above f32 cost resolution. With the
+    # framework-default 1e-9, f32 windows ground 39.9 dogleg iterations
+    # against rounding noise where f64 stopped at 5.3 — for the SAME
+    # trajectory to 4 decimals (r5 diagnostic sweep).
+    tol = 1e-6 if args.dtype == "float64" else 1e-5
     config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                         ftol=tol, xtol=tol,
                          record_history=args.report == "full")
 
     dataset = DatasetProblemSun.read_csv(

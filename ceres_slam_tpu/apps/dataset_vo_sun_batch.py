@@ -147,7 +147,9 @@ def main(argv=None):
           f"window {args.window}"
           + (f" (+{len(fallback)} sequential fallbacks)" if fallback else ""),
           file=sys.stderr)
-    cfg = SolveConfig(max_iters=args.max_iters, nonmonotonic=True)
+    tol = 1e-6 if args.dtype == "float64" else 1e-5
+    cfg = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                      ftol=tol, xtol=tol)  # precision-matched (dataset_vo_sun)
     t0 = time.time()
     if batch_runs:
         results = batch_scan.solve_batch(

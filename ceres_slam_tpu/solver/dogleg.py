@@ -317,7 +317,7 @@ def blocks_dogleg_loop(
         done = (
             small
             | (grad_norm <= config.gtol)
-            | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
+            | (dx_ok & (jnp.max(jnp.abs(dx)) <= config.xtol))
             | (radius <= 1e-11)
         )
         if config.run_full_budget:

@@ -19,6 +19,13 @@ class SolveConfig(NamedTuple):
     max_iters: int = 50
     ftol: float = 1e-9
     gtol: float = 1e-12
+    # step-size (parameter) tolerance: terminate when max|dx| of an
+    # attempted step falls below this. Ceres' parameter_tolerance role;
+    # the default keeps the historical "numerically zero step" behavior.
+    # f32 pipelines should set ~1e-6: the step norm is rounding-robust
+    # where f32 cost-decrease plateaus are not (r5: f32 windows ground
+    # 4-8x the f64 iteration count against ftol noise).
+    xtol: float = 1e-14
     init_lambda: float = 1e-4
     min_lambda: float = 1e-12
     max_lambda: float = 1e10
@@ -126,7 +133,7 @@ def lm_solve(
         done = (
             small_decrease
             | (grad_norm <= config.gtol)
-            | (dx_ok & (jnp.max(jnp.abs(dx)) <= 1e-14))
+            | (dx_ok & (jnp.max(jnp.abs(dx)) <= config.xtol))
             | (c.lam >= config.max_lambda)
         )
         if config.run_full_budget:
