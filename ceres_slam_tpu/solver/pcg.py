@@ -271,11 +271,12 @@ def _use_matvec_kernel(b: ObsBlocks, t: ObsTables) -> bool:
         return False
     K = b.Hpp.shape[0]
     O_l = t.by_point.shape[1]
-    # VMEM: the kernel's combined one-hot + iota cost 2*K*O_l*TILE_J*4
-    # bytes; K=1024/O=8 is ~8 MB against the 16 MB scoped budget
+    # VMEM: each (j-tile, slot) grid step holds ONE one-hot + iota,
+    # 2*K*TILE_J*4 bytes (4 MB at K=1024, TILE_J=512) against the 16 MB
+    # scoped budget
     from ceres_slam_tpu.ops import pallas_kernels as pk
 
-    vmem_onehot = 2 * K * O_l * pk.TILE_J * 4
+    vmem_onehot = 2 * K * pk.TILE_J * 4
     return (jax.devices()[0].platform == "tpu"
             and b.U18.dtype == jnp.float32
             and O_l * 18 <= 512 and vmem_onehot <= 9 * 2**20)
