@@ -129,9 +129,22 @@ def build_obs_blocks(
     else:
         pose_idx = st.pose_idx
         point_idx = st.point_idx
+        # Invalid rows must contribute EXACT zeros, but their gathered
+        # landmark can be garbage — an uninitialized point sits at the
+        # origin, lands at z <= 0 in camera frame, and 1/z turns the
+        # masked row into NaN*0 = NaN, which poisons every reduction
+        # (caught by the KITTI-scale full-batch validation, r5: the CPU
+        # pcg path rejected every LM step). Evaluate invalid rows
+        # against a synthetic point 10 m ahead of their camera instead;
+        # the Pallas factor kernel guards its depth internally.
+        T_obs = state.poses[st.pose_idx]
+        p_obs = state.points[st.point_idx]
+        ahead = jnp.asarray([0.0, 0.0, 10.0], dtype)
+        safe_pt = lie.se3_transform_point(
+            lie.se3_inverse(T_obs), jnp.broadcast_to(ahead, p_obs.shape))
+        p_obs = jnp.where(valid_b[:, None], p_obs, safe_pt)
         r, J_pose, J_pt = factors.stereo_reprojection(
-            p.camera, state.poses[st.pose_idx], state.points[st.point_idx],
-            st.uvd, st.stiffness
+            p.camera, T_obs, p_obs, st.uvd, st.stiffness
         )
         valid = valid_b.astype(dtype)
         r = r * valid[:, None]

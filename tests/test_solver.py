@@ -391,3 +391,33 @@ def test_fused_obs_blocks_match_xla():
     scale = max(1.0, float(np.abs(np.asarray(dx_x)).max()))
     np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_x),
                                rtol=1e-3, atol=1e-4 * scale)
+
+
+def test_pcg_step_masked_invalid_points_finite():
+    """Invalid observations (e.g. uninitialized landmarks at the origin,
+    z <= 0 in camera frame) must contribute EXACT zeros to the PCG
+    assembly — the unguarded factor eval produced NaN*0 = NaN and the
+    full-batch KITTI run rejected every LM step (r5 regression)."""
+    import bench
+    from ceres_slam_tpu.solver import pcg as pcg_mod
+
+    bench.K, bench.J, bench.N_OBS = 8, 32, 256
+    problem, state = bench.build(jnp.float64)
+    # poison: invalidate half the landmarks and put them AT THE ORIGIN
+    # (z ~ 0 garbage in camera frame, like uninitialized map points)
+    bad = np.zeros(32, bool)
+    bad[::2] = True
+    pts = np.array(state.points)
+    pts[bad] = 0.0
+    state = state._replace(points=jnp.asarray(pts))
+    problem = problem._replace(point_valid=jnp.asarray(~bad))
+
+    dx, gn, pred = pcg_mod.pcg_step(
+        problem, state, jnp.asarray(1e-4), max_cg_iters=50)
+    assert bool(jnp.all(jnp.isfinite(dx)))
+    assert np.isfinite(float(gn)) and np.isfinite(float(pred))
+
+    sol, summary = pcg_mod.solve_ba_pcg(
+        problem, state, pcg_mod.lm.SolveConfig(max_iters=10,
+                                               nonmonotonic=True))
+    assert float(summary.final_cost) < float(summary.initial_cost)
