@@ -20,16 +20,23 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--kind", default="triangle",
                    choices=["triangle", "square", "penta", "circle",
-                            "kitti"],
+                            "kitti", "phong"],
                    help="'kitti' generates a KITTI-shaped street drive "
                         "(sim.generate_kitti: open trajectory, corridor "
-                        "landmarks, tracker-style track structure)")
+                        "landmarks, tracker-style track structure); "
+                        "'phong' generates a Phong-shaded track for "
+                        "dataset_ba_phong (vertex normals + intensities, "
+                        "shared materials, point light)")
     p.add_argument("--num-states", type=int, default=200)
     p.add_argument("--num-points", type=int, default=None,
                    help="default: 400 (polygon sims) or ~16/state (kitti)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sun-noise", type=float, nargs="*", default=[0.0, 10.0, 20.0, 30.0],
                    help="sun observation noise levels in degrees (one obs file per level)")
+    p.add_argument("--num-materials", type=int, default=3,
+                   help="shared-material count (phong kind only)")
+    p.add_argument("--directional", action="store_true",
+                   help="directional instead of point light (phong kind)")
     args = p.parse_args(argv)
 
     from ceres_slam_tpu.utils import sim
@@ -41,6 +48,18 @@ def main(argv=None):
     if args.num_points is None:
         args.num_points = (16 * args.num_states if args.kind == "kitti"
                            else 400)
+
+    if args.kind == "phong":
+        # Phong-shaded BA track (tests/dataset_ba_phong.cpp workload):
+        # one file, consumed directly by apps.dataset_ba_phong.
+        ds = sim.generate_phong(
+            num_states=args.num_states, num_points=args.num_points,
+            num_materials=args.num_materials, seed=args.seed,
+            directional=args.directional)
+        sim.write_phong_track_csv(ds, base + ".csv")
+        sim.write_gt_poses_csv(ds, base + "_gt_poses.csv")
+        print(f"wrote {name} dataset to {args.out_dir}")
+        return
 
     def gen(noise):
         if args.kind == "kitti":
