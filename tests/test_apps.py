@@ -132,3 +132,27 @@ def test_dataset_vo_cli_full_batch_scalable_solver(sim_dir):
     poses_d = read_poses(out)
     np.testing.assert_allclose(poses_w, poses_d, atol=1e-4)
     np.testing.assert_allclose(poses_p, poses_d, atol=1e-4)
+
+
+def test_make_sim_phong_and_ba_phong_cli(tmp_path, capsys):
+    """The app-level Phong chain the chip record uses (VERDICT r4 #8):
+    make_sim --kind phong -> dataset_ba_phong --multistage -> evaluate.
+    Matches the reference driver's staged-schedule flow
+    (tests/dataset_ba_phong.cpp:257-331)."""
+    from ceres_slam_tpu.apps.dataset_ba_phong import main as ba_phong
+    from ceres_slam_tpu.apps.evaluate import main as evaluate
+    from ceres_slam_tpu.apps.make_sim import main as make_sim
+
+    d = str(tmp_path)
+    make_sim([d, "--kind", "phong", "--num-states", "12",
+              "--num-points", "200"])
+    track = os.path.join(d, "phong12.csv")
+    assert os.path.exists(track)
+    ba_phong([track, "--multistage"])
+    for suffix in ("_poses.csv", "_map.csv", "_lights.csv"):
+        assert os.path.exists(os.path.join(d, f"phong12{suffix}"))
+    evaluate([os.path.join(d, "phong12_poses.csv"),
+              os.path.join(d, "phong12_gt_poses.csv"),
+              "--label", "phong-cli"])
+    out = capsys.readouterr().out
+    assert "ATE:" in out
