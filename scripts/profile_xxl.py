@@ -112,6 +112,20 @@ def main():
             b, rhs, 50, 1e-5, tables=tables,
             precond=banded.make_banded_precond(b, tracks, K))[0]), b, rhs)
 
+    # CG convergence: iterations consumed (of 50) under each
+    # preconditioner — the banded factorization's whole win is the early
+    # exit, so a matvec whose numerics stall the residual shows up here
+    y0 = jnp.einsum("jab,jb->ja", b.Cinv, b.gl)
+    Uy0 = pcg._gather_sum_by_pose(tables, pcg.u18_vec(b.U18,
+                                                      y0[b.point_idx]))
+    rhs_real = -(b.gp - Uy0)
+    for name, pre in (("banded",
+                       banded.make_banded_precond(b, tracks, K)),
+                      ("jacobi", None)):
+        iters = jax.jit(lambda b, r, pre=pre: pcg.pcg_solve(
+            b, r, 50, 1e-5, tables=tables, precond=pre)[1])(b, rhs_real)
+        out[f"cg_iters_{name}"] = int(iters)
+
     out["pcg_step_ms"] = 1e3 * _med(
         jax.jit(lambda p, s: pcg.pcg_step(
             p, s, lam, max_cg_iters=50, cg_tol=1e-5, tables=tables,
