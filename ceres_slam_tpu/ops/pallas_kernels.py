@@ -390,20 +390,21 @@ def window_factor_blocks(
 # ---------------------------------------------------------------------------
 
 
-def _bilinear_kernel(imgs_ref, u_ref, v_ref, out_ref):
+def _bilinear_kernel(imgs_ref, ui_ref, vi_ref, fu_ref, fv_ref, out_ref):
+    # Index/fraction arithmetic happens OUTSIDE the kernel (plain
+    # elementwise XLA, fused for free): under x64 sessions Mosaic lowers
+    # in-kernel float->int conversions through a 64-bit decomposition that
+    # this toolchain cannot compile (bare astype(int32) -> remote HTTP
+    # 500; jnp.clip -> infinite _convert_helper recursion at lowering).
+    # The kernel therefore takes pre-split i32 indices + f32 fractions
+    # and contains no dtype conversion at all.
     C, H, W = imgs_ref.shape
-    dtype = imgs_ref.dtype
-    u = u_ref[0, :]
-    v = v_ref[0, :]
-    # identical index/fraction arithmetic to ops/photometric.
-    # _sample_bilinear (out-of-bounds lanes are clipped here and masked by
-    # the caller, which owns the in-bounds test)
-    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
-    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
-    fu = u - ui.astype(dtype)
-    fv = v - vi.astype(dtype)
+    ui = ui_ref[0, :]
+    vi = vi_ref[0, :]
+    fu = fu_ref[0, :]
+    fv = fv_ref[0, :]
 
-    n = u.shape[0]
+    n = ui.shape[0]
     ids_h = jax.lax.broadcasted_iota(jnp.int32, (n, H), 1)
     vcol, fvc = vi[:, None], fv[:, None]
     Rw = (jnp.where(ids_h == vcol, 1.0 - fvc, 0.0)
@@ -417,7 +418,8 @@ def _bilinear_kernel(imgs_ref, u_ref, v_ref, out_ref):
         # which would quantize the interpolation weights to 8-bit
         # mantissas; with exact weights the contraction reproduces the
         # gather formula to f32 rounding.
-        rows = jnp.dot(Rw, imgs_ref[c], preferred_element_type=dtype,
+        rows = jnp.dot(Rw, imgs_ref[c],
+                       preferred_element_type=imgs_ref.dtype,
                        precision=jax.lax.Precision.HIGHEST)
         out_ref[c, :] = jnp.sum(rows * Cw, axis=1)
 
@@ -438,25 +440,35 @@ def bilinear_sample_imgs(
     dtype = jnp.float32
     Np = -(-N // TILE) * TILE
     pad = Np - N
-    u_t = jnp.pad(u.astype(dtype), (0, pad))[None, :]
-    v_t = jnp.pad(v.astype(dtype), (0, pad))[None, :]
+    u32 = u.astype(dtype)
+    v32 = v.astype(dtype)
+    # identical index/fraction arithmetic to ops/photometric.
+    # _sample_bilinear (out-of-bounds lanes are clipped here and masked
+    # by the caller, which owns the in-bounds test); computed OUTSIDE the
+    # kernel — see _bilinear_kernel for why no conversion may live inside
+    ui = jnp.clip(jnp.floor(u32).astype(jnp.int32), 0, W - 2)
+    vi = jnp.clip(jnp.floor(v32).astype(jnp.int32), 0, H - 2)
+    fu = u32 - ui.astype(dtype)
+    fv = v32 - vi.astype(dtype)
 
+    def tile1(x):
+        return jnp.pad(x, (0, pad))[None, :]
+
+    vec_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _bilinear_kernel,
         grid=(Np // TILE,),
         in_specs=[
             pl.BlockSpec((C, H, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            vec_spec, vec_spec, vec_spec, vec_spec,
         ],
         out_specs=pl.BlockSpec((C, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, Np), dtype),
         interpret=interpret,
-    )(imgs.astype(dtype), u_t, v_t)
+    )(imgs.astype(dtype), tile1(ui), tile1(vi), tile1(fu), tile1(fv))
     return out[:, :N]
 
 

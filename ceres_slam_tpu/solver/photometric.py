@@ -133,5 +133,24 @@ def solve_photometric(
     config: lm.SolveConfig = lm.SolveConfig(max_iters=30),
     sampler: str = "auto",
 ):
-    return _solve_photometric_jit(
-        problem, state0, config, resolve_sampler(sampler))
+    sampler = resolve_sampler(sampler)
+    if sampler == "pallas" and jax.config.jax_enable_x64:
+        # Mosaic cannot lower the sampling kernel from an x64 trace
+        # context on this toolchain (float->int converts decompose
+        # through 64-bit and recurse/fail to legalize; see
+        # pallas_kernels._bilinear_kernel). The pallas path is the TPU
+        # path and is f32 end-to-end, so trace/lower/run it under x32;
+        # inputs are committed f32 arrays either way.
+        def to_f32(x):
+            x = jnp.asarray(x)
+            return (x.astype(jnp.float32)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+        problem = jax.tree.map(to_f32, problem)
+        state0 = jax.tree.map(to_f32, state0)
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return _solve_photometric_jit(problem, state0, config, sampler)
+        finally:
+            jax.config.update("jax_enable_x64", True)
+    return _solve_photometric_jit(problem, state0, config, sampler)
