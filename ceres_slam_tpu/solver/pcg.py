@@ -460,14 +460,25 @@ def _block_precond(S_diag: jnp.ndarray):
 
 
 def pcg_solve(b: ObsBlocks, rhs: jnp.ndarray, max_iters: int, tol: float,
-              tables: "ObsTables | None" = None, precond=None):
+              tables: "ObsTables | None" = None, precond=None,
+              kernel_ok: bool = True):
     """Preconditioned CG on the reduced camera system. Default
     preconditioner is exact block-Jacobi; pass ``precond`` (a callable
     r -> M^{-1} r, e.g. `banded.make_banded_precond`) to override.
-    With ``tables``, matvecs use gather-table reductions (no scatters)."""
+    With ``tables``, matvecs use gather-table reductions (no scatters).
+
+    ``kernel_ok``: whether the lane-major Pallas matvec kernel may be
+    used. The kernel pays off when CG iterations dominate (block-Jacobi:
+    XXL 5.66 -> 7.2 LM it/s, S 152 -> 260); with the banded
+    cyclic-reduction preconditioner CG collapses to ~19 iterations and
+    at K=1024 the kernel-in-LM-loop program runs 3.9x SLOWER end-to-end
+    than the gather matvec (6.83 -> 1.77 it/s, r5 A/B on chip —
+    isolated cg50 timings show the kernel faster, so the collapse is a
+    whole-loop compilation pathology, not matvec cost). Callers with a
+    non-Jacobi preconditioner pass False."""
     if precond is None:
         precond = _block_precond(schur_diag_blocks(b, tables))
-    if tables is not None and _use_matvec_kernel(b, tables):
+    if tables is not None and kernel_ok and _use_matvec_kernel(b, tables):
         matvec = make_schur_matvec_kernel(b, tables)
     elif tables is not None:
         matvec = make_schur_matvec_gather(b, tables)
@@ -539,7 +550,7 @@ def pcg_step(problem, state, lam, max_cg_iters: int = 100, cg_tol: float = 1e-6,
     rhs = -(b.gp - Uy)
 
     dp, _ = pcg_solve(b, rhs, max_cg_iters, cg_tol, tables=tables,
-                      precond=precond)
+                      precond=precond, kernel_ok=precond is None)
 
     # back-substitute landmarks: dl = -C^{-1}(gl + U^T dp)
     Utdp = sum_by_point(u18_t_vec(b.U18, dp[b.pose_idx]))
