@@ -68,6 +68,27 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def solver_tolerance(dtype: str, num_windows: int = 0) -> float:
+    """Precision- and chain-length-matched ftol/xtol for the
+    sliding-window pipelines.
+
+    f64 uses Ceres' default function_tolerance (1e-6 — the reference
+    never overrides it, tests/dataset_vo_sun.cpp:136-143). f32 uses 1e-5
+    on short chains: that is the same distance above f32 cost resolution,
+    and tighter tolerances just grind iterations against rounding noise
+    for the SAME trajectory (r5 diagnostic sweep, triangle200: 39.9 vs
+    5.3 dogleg iters/window, ATE unchanged to 4 decimals). On LONG
+    chains the calculus flips: each window's early stop leaves a small
+    plateau error, and 1000+ chained windows accumulate it into tens of
+    meters (kitti1100 r5: f32@1e-5 sun-aided ATE 23.9-55.7 m ACROSS RUNS
+    vs f64 7.2; f32@1e-7 -> 6.5 m, beating f64, at ~6x the per-window
+    iterations). 256 windows is the calibrated crossover: the 199-window
+    sims match f64 to 4 decimals at 1e-5."""
+    if dtype == "float64":
+        return 1e-6
+    return 1e-5 if num_windows <= 256 else 1e-7
+
+
 def print_reports(summaries, mode: str, file=None) -> None:
     """Print per-window solver reports (reference prints BriefReport per
     window, tests/dataset_vo_sun.cpp:152)."""

@@ -13,6 +13,7 @@ import sys
 
 
 def main(argv=None):
+    from ceres_slam_tpu.apps import common
     from ceres_slam_tpu.apps.common import base_parser, print_reports, setup_jax
 
     p = base_parser("dataset_vo: stereo VO / full-batch bundle adjustment")
@@ -42,11 +43,16 @@ def main(argv=None):
     # (tests/dataset_vo.cpp:69-72 — DOGLEG is commented out there)
     summaries = dataset.solve_full(
         window=args.window,
-        # precision-matched tolerances (see dataset_vo_sun): Ceres'
-        # default function_tolerance for f64, one decade looser for f32
+        # precision- and chain-length-matched tolerances
+        # (common.solver_tolerance; window=0 full batch is a single
+        # solve with no chain accumulation)
         config=SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
-                           ftol=(1e-6 if args.dtype == "float64" else 1e-5),
-                           xtol=(1e-6 if args.dtype == "float64" else 1e-5),
+                           ftol=common.solver_tolerance(
+                               args.dtype,
+                               dataset.num_states if args.window else 0),
+                           xtol=common.solver_tolerance(
+                               args.dtype,
+                               dataset.num_states if args.window else 0),
                            record_history=args.report == "full"),
         linear_solver=args.linear_solver,
     )

@@ -30,6 +30,7 @@ def _phase(label):
 
 
 def main(argv=None):
+    from ceres_slam_tpu.apps import common
     from ceres_slam_tpu.apps.common import base_parser, print_reports, setup_jax
 
     p = base_parser("dataset_vo_sun: sun-aided sliding-window stereo VO")
@@ -41,6 +42,9 @@ def main(argv=None):
     p.add_argument("--az-err-thresh", type=float, default=1000.0, help="degrees")
     p.add_argument("--zen-err-thresh", type=float, default=1000.0, help="degrees")
     p.add_argument("--sun-only", action="store_true")
+    p.add_argument("--ftol", type=float, default=None,
+                   help="override ftol/xtol (default: precision- and "
+                        "chain-length-matched, common.solver_tolerance)")
     p.add_argument("--dtype", default="float64", choices=["float64", "float32"],
                    help="solver dtype (float32 = fast TPU mode)")
     p.add_argument("--strategy", default="dogleg", choices=["dogleg", "lm"],
@@ -69,23 +73,20 @@ def main(argv=None):
 
     az_thresh = args.az_err_thresh * math.pi / 180.0
     zen_thresh = args.zen_err_thresh * math.pi / 180.0
-    # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141).
-    # Tolerances are precision-matched: f64 uses Ceres' default
-    # function_tolerance (1e-6 — the reference never overrides it); f32
-    # uses 1e-5, the same distance above f32 cost resolution. With the
-    # framework-default 1e-9, f32 windows ground 39.9 dogleg iterations
-    # against rounding noise where f64 stopped at 5.3 — for the SAME
-    # trajectory to 4 decimals (r5 diagnostic sweep).
-    tol = 1e-6 if args.dtype == "float64" else 1e-5
-    config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
-                         ftol=tol, xtol=tol,
-                         record_history=args.report == "full")
-
     dataset = DatasetProblemSun.read_csv(
         args.track_file, args.ref_sun_file, args.obs_sun_file
     )
     dataset.dtype = args.dtype
     _phase("dataset loaded")
+    # use_nonmonotonic_steps = true (tests/dataset_vo_sun.cpp:141).
+    # Tolerances are precision- AND chain-length-matched (see
+    # common.solver_tolerance: long f32 chains accumulate per-window
+    # early-stop plateaus into meters — kitti1100 r5 post-mortem).
+    tol = args.ftol if args.ftol else common.solver_tolerance(
+        args.dtype, dataset.num_states)
+    config = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
+                         ftol=tol, xtol=tol,
+                         record_history=args.report == "full")
     print(
         f"Loaded {dataset.num_states} states, {dataset.num_points} points, "
         f"{dataset.state_ids.size} stereo obs, "

@@ -27,6 +27,7 @@ import time
 
 
 def main(argv=None):
+    from ceres_slam_tpu.apps import common
     from ceres_slam_tpu.apps.common import base_parser, setup_jax
 
     p = base_parser("dataset_vo_sun_batch: batched independent VO+sun runs")
@@ -147,9 +148,12 @@ def main(argv=None):
           f"window {args.window}"
           + (f" (+{len(fallback)} sequential fallbacks)" if fallback else ""),
           file=sys.stderr)
-    tol = 1e-6 if args.dtype == "float64" else 1e-5
+    # precision- and chain-length-matched (common.solver_tolerance)
+    tol = common.solver_tolerance(
+        args.dtype, max(r.ds.num_states for r in batch_runs)
+        if batch_runs else 0)
     cfg = SolveConfig(max_iters=args.max_iters, nonmonotonic=True,
-                      ftol=tol, xtol=tol)  # precision-matched (dataset_vo_sun)
+                      ftol=tol, xtol=tol)
     t0 = time.time()
     if batch_runs:
         results = batch_scan.solve_batch(
