@@ -287,7 +287,7 @@ def _window_kernel_single(cam_ref, posesT_ref, onehotT_ref, p_ref, uvd_ref,
                           hppgp_ref):
     """Gridless single whole-block variant: this toolchain's remote TPU
     compiler crashes on ANY gridded pallas_call inside lax.scan (even a
-    trivial doubling kernel — out/r5/probe_pallas_scan.log) while
+    trivial doubling kernel — results/r5/probe_pallas_scan.log) while
     whole-block calls compile, and the flagship window shapes fit one
     tile (M_pad == TILE). Same math, direct assignment."""
     hppgp_ref[:, :] = _window_math(
@@ -477,7 +477,7 @@ def bilinear_sample_imgs(
 # gather-table matvec materializes four ~[J, O*18] HBM temps and two row
 # gathers of 18-lane rows per CG iteration — measured ~3.4 ms at XXL
 # (K=1024, J=32k, N=262k) against a ~0.1 ms roofline, and CG dominates
-# the XXL LM iteration (out/r5/profile_xxl_tpu.log). This kernel keeps
+# the XXL LM iteration (results/r5/profile_xxl_tpu_v2.json). This kernel keeps
 # everything lane-major (J in lanes), streams the hoisted coupling slots
 # once, and does BOTH index translations (gather v by slot pose, reduce
 # contributions by pose) as 0/1 one-hot MXU contractions built in-VMEM

@@ -50,8 +50,8 @@ def _scan_fused(interpret: bool, M_pad: int, dt) -> bool:
     """Whether the scan's window step uses the fused Pallas factor
     kernel. History: the r3/r4 TPU compile of scan-of-pallas_call failed
     in the remote compile helper; r5 isolated the trigger to GRIDDED
-    pallas_call inside lax.scan (any kernel — out/r5/
-    probe_pallas_scan_v2.log) and the single-tile whole-block variant
+    pallas_call inside lax.scan (any kernel — results/r5/
+    probe_pallas_scan.log) and the single-tile whole-block variant
     (pallas_kernels._window_kernel_single) now compiles and runs on
     chip. Measured on triangle200 the fused scan is within noise of the
     pure-XLA step (the scan already amortizes dispatch latency, which is

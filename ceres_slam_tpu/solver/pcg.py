@@ -303,7 +303,7 @@ def make_schur_matvec_kernel(b: ObsBlocks, t: ObsTables,
     The XLA gather-table path (below) materializes ~4 x 19 MB HBM temps
     and two 18-lane row gathers per CG iteration — measured ~3.4 ms at
     XXL vs a ~0.1 ms roofline; CG dominates the XXL LM iteration
-    (out/r5/profile_xxl_tpu.log). Hoisted work here happens once per LM
+    (results/r5/profile_xxl_tpu_v2.json). Hoisted work here happens once per LM
     iteration; per CG iteration only [6, K] vectors move."""
     from ceres_slam_tpu.ops import pallas_kernels as pk
 
